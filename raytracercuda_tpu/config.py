@@ -1,0 +1,123 @@
+"""Runtime configuration for the TPU ray-tracing framework.
+
+This replaces the reference's compile-time flag layer (`Raytracer/Types.h:8-13`:
+``#define CUDA 0/1`` and ``TREE_TYPE TREE|HASH|PROGRESSIVE``) and the kernel
+tuning ``#define`` knobs (`Raytracer/BuildTree.cuh:10-21`, `Raytracer/Hash.cu:4-11`,
+`Raytracer/Trace2.cu:3-9`) with real runtime dataclasses.  Backend selection is
+a value, not a build flag; every knob the reference hardcodes is a field here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class AccelKind(enum.Enum):
+    """Acceleration-structure selector.
+
+    Mirrors the reference's ``TREE_TYPE`` compile-time selector
+    (`Raytracer/Types.h:10-13`), re-expressed TPU-first:
+
+    - ``BVH``:     LBVH over flattened, stackless (skip-link) node arrays —
+                   the TPU-native replacement for the atomic kd-tree
+                   (`Raytracer/BuildTree.cu`).
+    - ``GRID``:    Fletcher16 hashed uniform grid, CSR face lists — the
+                   deterministic replacement for the spatial hash
+                   (`Raytracer/Hash.cu`).
+    - ``WAVEFRONT``: queue/compaction-based traversal over the same BVH —
+                   completes the reference's unfinished "PROGRESSIVE" path
+                   (`Raytracer/Trace2.cu`).
+    - ``BRUTE``:   no structure; tiled all-pairs intersection.  This is the
+                   correctness oracle, the analog of the reference's
+                   ``#define CUDA 0`` CPU fallback (`Raytracer/CudaComon.cuh:36-56`).
+    """
+
+    BVH = "bvh"
+    GRID = "grid"
+    WAVEFRONT = "wavefront"
+    BRUTE = "brute"
+
+
+@dataclasses.dataclass(frozen=True)
+class BvhConfig:
+    """LBVH build/traversal knobs (replaces `Raytracer/BuildTree.cuh:10-21`)."""
+
+    #: Morton quantization bits per axis (30-bit codes).
+    morton_bits: int = 10
+    #: Upper bound on tree depth used for bounded refit/skip-link propagation
+    #: passes (analog of BUILD_TREE_MAX_DEPTH=38, `BuildTree.cuh:15`).
+    max_depth: int = 64
+    #: Max traversal iterations per ray (safety bound; analog of the
+    #: reference's bounded stacks + MAX_SEARCH_ITERS=400, `Hash.cu:11`).
+    max_iters: int = 4096
+    #: Collapse subtrees with <= this many faces into a single leaf
+    #: (analog of MAX_FACES_PER_BOX=256, `BuildTree.cuh:17`; small values
+    #: suit lockstep SIMD traversal).
+    max_leaf_faces: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Hashed uniform-grid knobs (replaces `Raytracer/Hash.cu:4-11`)."""
+
+    #: Cell edge length (CELL_RES=0.03, `Hash.cu:8`).
+    cell_res: float = 0.03
+    #: Number of hash cells (MAX_HASH_ELEMENTS=65536, `BuildTree.cuh:20`).
+    num_cells: int = 65536
+    #: Push-through epsilon when DDA-advancing through a cell
+    #: (CELL_PINCH_TROUGH_EPSILON, `Hash.cu:10`).
+    pinch_epsilon_frac: float = 0.001
+    #: Max DDA iterations per ray (MAX_SEARCH_ITERS=400, `Hash.cu:11`).
+    max_search_iters: int = 400
+    #: Max cells a single triangle may overlap during build (bounds the
+    #: rasterization loop; reference loops AABB cells unbounded).
+    max_cells_per_face: int = 64
+    #: Max faces tested per cell visit (NUM_FACES_PER_CELL=256, `Hash.cu:7`).
+    max_faces_per_cell: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class WavefrontConfig:
+    """Wavefront/queue traversal knobs (replaces `Raytracer/Trace2.cu:3-9`)."""
+
+    #: Hits kept per ray before reduction (MAX_HITS_PER_RAY_BLOCK=16,
+    #: `Trace2.cu:3`).
+    max_hits_per_ray: int = 16
+    #: Rounds of queue expansion before compaction.
+    rounds_per_compaction: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class TraceConfig:
+    """Per-trace options."""
+
+    #: Clip hits behind the origin (t < eps).  The reference's
+    #: `bmTriIntersect` (`CudaComon.cuh:117-155`) performs NO positivity
+    #: check; set False for bit-parity experiments with that behavior.
+    clip_backward_hits: bool = True
+    #: Epsilon for t>eps clipping and shadow-ray offsets.
+    t_epsilon: float = 1e-4
+    #: Ray-tile size for kernels (flattened pixels per tile; the analog of
+    #: MARCH_THREADS=256 blocks, `BuildTree.cuh:13`).  Must be a multiple of
+    #: 1024 for (8,128) TPU tiling.
+    tile_rays: int = 8192
+    #: Triangle-chunk size for brute-force intersection sweeps.
+    tile_faces: int = 256
+    #: Ray-tile size for the brute-force (all-pairs) tracer; bounds the
+    #: [rays x faces] intermediate to tile_rays_brute * tile_faces lanes.
+    tile_rays_brute: int = 2048
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Top-level framework configuration (replaces `Types.h` + knob defines)."""
+
+    accel: AccelKind = AccelKind.BVH
+    bvh: BvhConfig = dataclasses.field(default_factory=BvhConfig)
+    grid: GridConfig = dataclasses.field(default_factory=GridConfig)
+    wavefront: WavefrontConfig = dataclasses.field(default_factory=WavefrontConfig)
+    trace: TraceConfig = dataclasses.field(default_factory=TraceConfig)
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,76 @@
+"""Forward render pipeline: camera rays -> closest hit -> shade -> packed u32.
+
+The TPU-native fusion of the reference's frame path
+(`Camera::traceScene` -> `Scene*::march` -> march kernel -> shade,
+`Camera.cpp:85-97`, `SceneTree.cpp:109-127`, `BuildTree.cu:367-499`): one
+jitted function from ray grid to framebuffer, with the acceleration-structure
+backend dispatched on config.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AccelKind, RenderConfig
+from ..models.scene import SceneData
+from ..types import Hit
+
+
+def rotate_rays(initial_rays: jnp.ndarray, orient: jnp.ndarray) -> jnp.ndarray:
+    """Apply the camera orientation to the precomputed ray grid:
+    ``dir = orient * initialRays[i]`` (`BuildTree.cu:377-378`).  ``orient``
+    is 3x3 column-vector convention, so batched form is ``rays @ orient.T``."""
+    return initial_rays @ orient.T
+
+
+def trace_hit(
+    scene: SceneData,
+    accel,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    config: RenderConfig,
+) -> Hit:
+    """Closest-hit dispatch over the configured acceleration backend."""
+    kind = config.accel
+    if kind == AccelKind.BRUTE or accel is None:
+        from .bruteforce import trace_brute
+
+        return trace_brute(scene.positions, scene.faces, origin, direction, config.trace)
+    if kind == AccelKind.BVH:
+        from .traverse import trace_bvh
+
+        return trace_bvh(accel, scene.positions, scene.faces, origin, direction,
+                         config.bvh, config.trace)
+    if kind == AccelKind.GRID:
+        from .grid_march import trace_grid
+
+        return trace_grid(accel, scene.positions, scene.faces, origin, direction,
+                          config.grid, config.trace)
+    if kind == AccelKind.WAVEFRONT:
+        from .wavefront import trace_wavefront
+
+        return trace_wavefront(accel, scene.positions, scene.faces, origin, direction,
+                               config.bvh, config.trace)
+    raise ValueError(f"unknown accel kind {kind}")
+
+
+@partial(jax.jit, static_argnames=("config",))
+def trace_to_buffer(
+    scene: SceneData,
+    accel,
+    initial_rays: jnp.ndarray,
+    eye: jnp.ndarray,
+    orient: jnp.ndarray,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """Full parity frame: returns the ``[R]`` packed-u32 framebuffer the
+    reference's march kernels write (`BuildTree.cu:486-496`)."""
+    from .shade import shade_normal_packed
+
+    dirs = rotate_rays(initial_rays, orient)
+    origin = jnp.broadcast_to(eye[None, :], dirs.shape)
+    hit = trace_hit(scene, accel, origin, dirs, config)
+    return shade_normal_packed(scene, hit)

@@ -1,0 +1,125 @@
+"""Shading: composable JAX functions over SoA hit records.
+
+The reference's extension point for shading is a device function pointer,
+``bmHitCallback`` (`Raytracer/SharedTypes.h:37`), e.g. the app-side normal
+shader ``bmShadeNormal`` (`TestProgram/Program.cpp:64-70`).  The TPU-native
+form of the same extension point is an ordinary JAX function taking the
+scene and a ``Hit`` record — composable, jittable, differentiable.
+
+``shade_normal_packed`` reproduces the reference's built-in shading
+bit-for-bit (`BuildTree.cu:486-496`, `Hash.cu:291-301`): interpolated
+normal, red channel ``|n.z|*255`` truncated, miss = ``255<<8``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models.mesh import VERTEX_DATA_NORMAL, VERTEX_DATA_UV1
+from ..models.scene import SceneData
+from ..ops.interpolate import face_interpolate
+from ..ops.math import normalize, pack_rgb_vec
+from ..types import Hit
+
+#: Background value 255<<8 (`BuildTree.cu:495`).
+MISS_COLOR_PACKED = jnp.uint32(255 << 8)
+
+
+def interpolate_slot(scene: SceneData, hit: Hit, slot: int) -> jnp.ndarray:
+    attr = scene.attrs[slot]
+    return face_interpolate(attr, scene.faces, hit.face, hit.u, hit.v)
+
+
+def shade_normal_packed(scene: SceneData, hit: Hit) -> jnp.ndarray:
+    """Bit-parity normal shading -> packed u32 framebuffer values.
+
+    `BuildTree.cu:486-496`: ``buffer[i] = (u32)abs(n.z*255) << 16`` on hit
+    (C cast truncates toward zero), ``255<<8`` on miss.
+    """
+    n = interpolate_slot(scene, hit, VERTEX_DATA_NORMAL)
+    n = normalize(n, eps=1e-30)
+    red = jnp.abs(n[..., 2] * 255.0).astype(jnp.uint32) << 16
+    return jnp.where(hit.hit_mask, red, MISS_COLOR_PACKED)
+
+
+def shade_normal_rgb(scene: SceneData, hit: Hit, background=(0.0, 1.0, 0.0)):
+    """Float-RGB variant of the parity shading (differentiable)."""
+    n = interpolate_slot(scene, hit, VERTEX_DATA_NORMAL)
+    n = normalize(n, eps=1e-30)
+    r = jnp.abs(n[..., 2])
+    rgb = jnp.stack([r, jnp.zeros_like(r), jnp.zeros_like(r)], axis=-1)
+    bg = jnp.asarray(background, jnp.float32)
+    return jnp.where(hit.hit_mask[..., None], rgb, bg)
+
+
+def sample_texture(textures: jnp.ndarray, tex_id, u, v) -> jnp.ndarray:
+    """Bilinear texture fetch from the ``[T,H,W,3]`` atlas.
+
+    The reference stores a texture id per material (`SharedTypes.h:20-23`)
+    but never samples it in a kernel; texturing is a new, differentiable
+    capability (BASELINE config #4 requires texture gradients).
+    """
+    t, h, w = textures.shape[0], textures.shape[1], textures.shape[2]
+    # Wrap addressing.
+    fu = (u % 1.0) * (w - 1)
+    fv = (v % 1.0) * (h - 1)
+    x0 = jnp.floor(fu).astype(jnp.int32)
+    y0 = jnp.floor(fv).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    ax = (fu - x0)[..., None]
+    ay = (fv - y0)[..., None]
+    tid = jnp.clip(tex_id, 0, t - 1)
+    c00 = textures[tid, y0, x0]
+    c01 = textures[tid, y0, x1]
+    c10 = textures[tid, y1, x0]
+    c11 = textures[tid, y1, x1]
+    top = c00 * (1 - ax) + c01 * ax
+    bot = c10 * (1 - ax) + c11 * ax
+    return top * (1 - ay) + bot * ay
+
+
+def material_albedo(scene: SceneData, hit: Hit) -> jnp.ndarray:
+    """Per-hit base color: material albedo, modulated by its texture when
+    one is assigned."""
+    mesh_id = scene.faces[jnp.maximum(hit.face, 0), 3]
+    mat_id = scene.mesh_material[mesh_id]
+    albedo = scene.albedo[mat_id]
+    tex_id = scene.texture_id[mat_id]
+    if VERTEX_DATA_UV1 in scene.attrs:
+        uv = interpolate_slot(scene, hit, VERTEX_DATA_UV1)
+        tex_rgb = sample_texture(scene.textures, tex_id, uv[..., 0], uv[..., 1])
+        albedo = jnp.where((tex_id >= 0)[..., None], albedo * tex_rgb, albedo)
+    return albedo
+
+
+def shade_lambert_rgb(
+    scene: SceneData,
+    hit: Hit,
+    ray_origin: jnp.ndarray,
+    ray_dir: jnp.ndarray,
+    light_dir=(0.4, 0.8, -0.45),
+    shadow_mask: jnp.ndarray | None = None,
+    ambient: float = 0.08,
+    background=(0.0, 1.0, 0.0),
+) -> jnp.ndarray:
+    """Lambert N·L shading with optional shadow attenuation (BASELINE
+    config #3: "Lambert shading + shadow rays")."""
+    n = interpolate_slot(scene, hit, VERTEX_DATA_NORMAL)
+    n = normalize(n, eps=1e-30)
+    # Face the normal against the incoming ray.
+    flip = jnp.sum(n * ray_dir, axis=-1) > 0.0
+    n = jnp.where(flip[..., None], -n, n)
+    l = normalize(jnp.asarray(light_dir, jnp.float32))
+    ndotl = jnp.maximum(jnp.sum(n * l, axis=-1), 0.0)
+    if shadow_mask is not None:
+        ndotl = jnp.where(shadow_mask, 0.0, ndotl)
+    albedo = material_albedo(scene, hit)
+    rgb = albedo * (ambient + (1.0 - ambient) * ndotl)[..., None]
+    bg = jnp.asarray(background, jnp.float32)
+    return jnp.where(hit.hit_mask[..., None], rgb, bg)
+
+
+def pack_shaded(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Float RGB -> packed u32 framebuffer (`CudaComon.cuh:85-98`)."""
+    return pack_rgb_vec(rgb)

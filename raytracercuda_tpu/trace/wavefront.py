@@ -1,0 +1,143 @@
+"""Wavefront (queue-based) BVH traversal — the completed "PROGRESSIVE" path.
+
+The reference sketches a streaming formulation in `Raytracer/Trace2.cu`:
+ray-box expansion queues (`bmRayBoxKernel`), leaf expansion
+(`bmLeafExpandKernel`), batched ray-face tests appending into bounded
+per-ray hit clusters (`bmFaceTestKernel`, ``bmRayFaceHitCluster[16]``,
+`Trace2.cu:3,100-137`), and a closest-hit reduction invoking a shade
+callback (`bmFindClosestHit`, `Trace2.cu:139-176`) — but its host launcher
+is stubbed out (`Trace2.cu:188-215`, `SceneProgressive.cpp:27-77`).
+
+This module FINISHES that design the TPU way, in rounds:
+
+  Stage A (expand): every ray walks the skip-link BVH until it has queued
+    up to Q leaf nodes (the bounded hit-cluster analog) or exhausted the
+    tree — pure gather/compare lockstep work.
+  Stage B (test):   all queued (ray x leaf-face) pairs are Möller-Trumbore
+    tested as one big ``[R, Q*K]`` batch — maximal VPU occupancy.
+  Stage C (reduce): per-ray min-reduction updates the closest hit, which
+    then PRUNES the next round's expansion (box_d < best_t).
+
+Unlike the reference's fixed 16-entry cluster (which silently drops
+overflow hits), rounds make the formulation exact: a ray whose queue
+fills simply resumes walking next round.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.bvh import Bvh
+from ..config import BvhConfig, TraceConfig, WavefrontConfig
+from ..ops.math import box_ray_intersect, tri_intersect
+from ..types import FLT_MAX, Hit
+
+
+@partial(jax.jit, static_argnames=("cfg", "trace_cfg", "wf_cfg"))
+def trace_wavefront(
+    bvh: Bvh,
+    positions: jnp.ndarray,
+    faces: jnp.ndarray,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    cfg: BvhConfig = BvhConfig(),
+    trace_cfg: TraceConfig = TraceConfig(),
+    wf_cfg: WavefrontConfig = WavefrontConfig(),
+) -> Hit:
+    """Closest hit via round-based wavefront traversal.  Produces results
+    identical to `trace_bvh` (validated against the brute-force oracle)."""
+    if origin.ndim == 1:
+        origin = jnp.broadcast_to(origin[None, :], direction.shape)
+    num_rays = direction.shape[0]
+    inv_dir = 1.0 / direction
+    t_eps = jnp.float32(trace_cfg.t_epsilon)
+    q_cap = wf_cfg.max_hits_per_ray
+    num_faces = bvh.face_order.shape[0]
+
+    def outer_cond(state):
+        rounds, cur, *_ = state
+        return (rounds < cfg.max_iters) & jnp.any(cur >= 0)
+
+    def outer_body(state):
+        rounds, cur, bt, bu, bv, bf = state
+
+        # ---- Stage A: expand until queues fill (bmRayBoxKernel +
+        # bmLeafExpandKernel analog) --------------------------------------
+        def walk_cond(wstate):
+            steps, wcur, qcount, _ = wstate
+            walking = (wcur >= 0) & (qcount < q_cap)
+            return (steps < cfg.max_iters) & jnp.any(walking)
+
+        def walk_body(wstate):
+            steps, wcur, qcount, queue = wstate
+            walking = (wcur >= 0) & (qcount < q_cap)
+            nid = jnp.maximum(wcur, 0)
+            box_d = box_ray_intersect(
+                bvh.node_min[nid], bvh.node_max[nid], origin, inv_dir
+            )
+            enter = walking & (box_d < bt)
+            leaf = bvh.is_leaf[nid]
+            # Queue the leaf (bounded append, like the atomicAdd append at
+            # `Trace2.cu:127-133` but deterministic).
+            append = enter & leaf
+            queue = queue.at[jnp.arange(num_rays), jnp.minimum(qcount, q_cap - 1)].set(
+                jnp.where(append, nid, queue[jnp.arange(num_rays), jnp.minimum(qcount, q_cap - 1)])
+            )
+            qcount = qcount + append.astype(jnp.int32)
+            nxt = jnp.where(enter & ~leaf, bvh.hit_link[nid], bvh.skip_link[nid])
+            wcur = jnp.where(walking, nxt, wcur)
+            return steps + 1, wcur, qcount, queue
+
+        queue0 = jnp.zeros((num_rays, q_cap), jnp.int32)
+        qcount0 = jnp.zeros((num_rays,), jnp.int32)
+        _, cur, qcount, queue = jax.lax.while_loop(
+            walk_cond, walk_body, (jnp.int32(0), cur, qcount0, queue0)
+        )
+
+        # ---- Stage B+C: batched face tests + closest reduce
+        # (bmFaceTestKernel + bmFindClosestHit analog) --------------------
+        q_ids = jnp.arange(q_cap, dtype=jnp.int32)[None, :]
+        q_valid = q_ids < qcount[:, None]  # [R,Q]
+        qnode = jnp.where(q_valid, queue, 0)
+        lfirst = bvh.leaf_first[qnode]  # [R,Q]
+        lcount = bvh.leaf_count[qnode]
+        for k in range(cfg.max_leaf_faces):
+            in_range = q_valid & (k < lcount)
+            slot = jnp.clip(lfirst + k, 0, num_faces - 1)
+            fid = bvh.face_order[slot]  # [R,Q]
+            frow = faces[fid]  # [R,Q,4]
+            t, u, v = tri_intersect(
+                origin[:, None, :],
+                direction[:, None, :],
+                positions[frow[..., 0]],
+                positions[frow[..., 1]],
+                positions[frow[..., 2]],
+            )
+            if trace_cfg.clip_backward_hits:
+                t = jnp.where(t < t_eps, FLT_MAX, t)
+            t = jnp.where(in_range, t, FLT_MAX)
+            j = jnp.argmin(t, axis=1)
+            rows = jnp.arange(num_rays)
+            ct, cu, cv, cf = t[rows, j], u[rows, j], v[rows, j], fid[rows, j]
+            closer = ct < bt
+            bt = jnp.where(closer, ct, bt)
+            bu = jnp.where(closer, cu, bu)
+            bv = jnp.where(closer, cv, bv)
+            bf = jnp.where(closer, cf, bf)
+
+        return rounds + 1, cur, bt, bu, bv, bf
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((num_rays,), jnp.int32),
+        jnp.full((num_rays,), FLT_MAX, jnp.float32),
+        jnp.zeros((num_rays,), jnp.float32),
+        jnp.zeros((num_rays,), jnp.float32),
+        jnp.full((num_rays,), -1, jnp.int32),
+    )
+    _, _, bt, bu, bv, bf = jax.lax.while_loop(outer_cond, outer_body, init)
+    bf = jnp.where(bt == FLT_MAX, -1, bf)
+    return Hit(t=bt, u=bu, v=bv, face=bf)

@@ -1,0 +1,131 @@
+"""Content loading tests: OBJ/MTL parsing, per-material grouping, normals/
+tangents, BMP textures — against the known stats of the reference's
+Content meshes (SURVEY.md §4: suzanne 7830v/15488f, f16 4056f/2 materials,
+bunny 34817v/69630f)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from raytracercuda_tpu.models.loader import (
+    compute_normals,
+    load_model,
+    parse_obj,
+)
+from raytracercuda_tpu.models.mesh import (
+    VERTEX_DATA_NORMAL,
+    VERTEX_DATA_POSITION,
+    VERTEX_DATA_UV1,
+)
+from raytracercuda_tpu.models.scene import Scene
+from raytracercuda_tpu.utils import content
+from raytracercuda_tpu.utils.bmp import read_bmp
+
+HAVE_CONTENT = content.content_dir() is not None
+
+
+def test_parse_simple_obj():
+    obj = """
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+vn 0 0 1
+vt 0 0
+vt 1 0
+vt 0 1
+vt 1 1
+f 1/1/1 2/2/1 3/3/1
+f 2/2/1 4/4/1 3/3/1
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".obj", delete=False) as f:
+        f.write(obj)
+        path = f.name
+    try:
+        data = parse_obj(path)
+        assert sum(g[1].shape[0] for g in data.groups) == 2
+        assert data.positions.shape[1] == 3
+        assert data.normals is not None and data.uvs is not None
+        # 4 unique (v,vt,vn) corners.
+        assert data.positions.shape[0] == 4
+    finally:
+        os.unlink(path)
+
+
+def test_parse_quad_triangulation_and_negative_indices():
+    obj = """
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+f -4 -3 -2 -1
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".obj", delete=False) as f:
+        f.write(obj)
+        path = f.name
+    try:
+        data = parse_obj(path)
+        assert sum(g[1].shape[0] for g in data.groups) == 2  # quad -> 2 tris
+    finally:
+        os.unlink(path)
+
+
+def test_compute_normals_flat_quad():
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([[0, 1, 2]], np.int32)
+    n = compute_normals(pos, idx)
+    assert np.allclose(n, [[0, 0, 1]] * 3, atol=1e-6)
+
+
+@pytest.mark.skipif(not HAVE_CONTENT, reason="reference content not present")
+def test_load_suzanne():
+    path = content.find("suzanne.obj")
+    assert path
+    scene = Scene.create()
+    assert load_model(path, scene)
+    data = scene.data()
+    # SURVEY.md: suzanne has 15,488 faces.
+    assert data.faces.shape[0] == 15488
+    assert data.positions.shape[0] > 7000
+    m = scene.meshes[0]
+    assert m.vertex_data(VERTEX_DATA_NORMAL) is not None
+
+
+@pytest.mark.skipif(not HAVE_CONTENT, reason="reference content not present")
+def test_load_f16_two_materials_and_textures():
+    path = content.find("f16.obj")
+    assert path
+    scene = Scene.create()
+    assert load_model(path, scene)
+    data = scene.data()
+    assert data.faces.shape[0] == 4056  # SURVEY.md §4 fixture stats
+    # Two material groups -> two meshes, each textured.
+    assert len(scene.meshes) == 2
+    assert len(scene.textures) == 2
+    assert scene.meshes[0].vertex_data(VERTEX_DATA_UV1) is not None
+    mats = [scene.materials[m.material_id] for m in scene.meshes]
+    assert all(mt.texture_id >= 0 for mt in mats)
+    tex = data.textures
+    assert tex.shape[0] >= 2 and tex.shape[-1] == 3
+
+
+@pytest.mark.skipif(not HAVE_CONTENT, reason="reference content not present")
+def test_load_bunny_from_zip():
+    path = content.find("bunny.obj")
+    assert path, "bunny.zip extraction failed"
+    data = parse_obj(path)
+    total_faces = sum(g[1].shape[0] for g in data.groups)
+    assert total_faces == 69630  # SURVEY.md §4
+
+
+@pytest.mark.skipif(not HAVE_CONTENT, reason="reference content not present")
+def test_read_bmp_textures():
+    for name in ("F16s.bmp", "F16t.bmp"):
+        p = content.find(name)
+        assert p
+        img = read_bmp(p)
+        assert img.ndim == 3 and img.shape[2] == 3
+        assert 0.0 <= float(img.min()) and float(img.max()) <= 1.0
+        assert img.shape[0] > 16 and img.shape[1] > 16
