@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark: rays/sec/chip — bunny.obj 512x512, primary + shadow rays.
+
+The machine-readable successor to the reference's Nsight export
+(`/root/reference/aa.xml`: bmMarchKernel 38.41 ms for 250k rays on a
+GTX 660 Ti ≈ 6.5 M primary rays/s — see BASELINE.md).  Prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"} where vs_baseline is
+the multiple of the reference's 6.5 M rays/s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_RAYS_PER_SEC = 6.5e6  # aa.xml-derived (BASELINE.md)
+WIDTH = HEIGHT = 512
+ITERS = 5
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracercuda_tpu import AccelKind, RenderConfig, Scene
+    from raytracercuda_tpu.accel.bvh import build_bvh
+    from raytracercuda_tpu.models.camera import camera_ray_grid
+    from raytracercuda_tpu.models.loader import load_model
+    from raytracercuda_tpu.trace.beam import occlusion_beam, trace_beam
+    from raytracercuda_tpu.trace.pipeline import rotate_rays
+    from raytracercuda_tpu.trace.shade import pack_shaded, shade_lambert_rgb
+    from raytracercuda_tpu.utils import content
+
+    config = RenderConfig(accel=AccelKind.BVH)
+    scene = Scene.create(config)
+    bunny = content.find("bunny.obj")
+    if bunny is not None:
+        load_model(bunny, scene)
+    else:  # content unavailable: procedural stand-in, still reported
+        from raytracercuda_tpu.models.procedural import icosphere_mesh
+
+        scene.add_mesh(icosphere_mesh(subdivisions=5, center=(0, 0, 3)))
+    data = scene.data()
+
+    # Frame the model: eye backed off along -z from the AABB center.
+    lo = np.asarray(data.positions.min(axis=0))
+    hi = np.asarray(data.positions.max(axis=0))
+    center = (lo + hi) / 2
+    extent = float(np.max(hi - lo))
+    eye = jnp.asarray(center - np.array([0, 0, 2.0 * extent]), jnp.float32)
+    orient = jnp.eye(3)
+    rays = camera_ray_grid(WIDTH, HEIGHT)
+    light = jnp.asarray([0.4, 0.8, -0.45], jnp.float32)
+    light = light / jnp.linalg.norm(light)
+
+    accel = build_bvh(data.positions, data.faces, config.bvh)
+    jax.block_until_ready(accel)
+
+    @jax.jit
+    def frame(scene, accel, rays, eye, orient):
+        dirs = rotate_rays(rays, orient)
+        origin = jnp.broadcast_to(eye[None, :], dirs.shape)
+        hit = trace_beam(accel, eye, dirs, height=HEIGHT, width=WIDTH,
+                         tile_px=config.trace.beam_tile,
+                         queue=config.trace.beam_queue,
+                         cfg=config.bvh, trace_cfg=config.trace,
+                         tiles_per_chunk=config.trace.beam_tiles_per_chunk)
+        p = origin + dirs * jnp.minimum(hit.t, 1e6)[..., None]
+        shadow_origin = jnp.where(hit.hit_mask[..., None], p, origin) + light * 1e-3
+        shadow = occlusion_beam(accel, shadow_origin, light, hit.hit_mask,
+                                height=HEIGHT, width=WIDTH,
+                                tile_px=config.trace.beam_tile,
+                                queue=config.trace.beam_queue,
+                                cfg=config.bvh, trace_cfg=config.trace,
+                                tiles_per_chunk=config.trace.beam_tiles_per_chunk)
+        rgb = shade_lambert_rgb(scene, hit, origin, dirs,
+                                shadow_mask=shadow & hit.hit_mask)
+        return pack_shaded(rgb)
+
+    out = frame(data, accel, rays, eye, orient)
+    out.block_until_ready()  # compile + warmup
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = frame(data, accel, rays, eye, orient)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+
+    rays_per_sec = WIDTH * HEIGHT / dt
+    print(
+        json.dumps(
+            {
+                "metric": "primary+shadow rays/sec/chip (bunny 512x512)",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

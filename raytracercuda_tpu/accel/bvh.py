@@ -30,6 +30,11 @@ import jax.numpy as jnp
 from ..config import BvhConfig
 
 
+#: Leaf ranges pack into one int32 as ``first * LEAF_PACK + count``;
+#: bounds max_leaf_faces and keeps first < 2^25 faces addressable.
+LEAF_PACK = 64
+
+
 class Bvh(NamedTuple):
     """Flattened, threaded BVH.
 
@@ -41,6 +46,24 @@ class Bvh(NamedTuple):
     internal, else intersect faces ``face_order[leaf_first[v] :
     leaf_first[v]+leaf_count[v]]`` and then go to ``skip_link[v]``.
     ``-1`` terminates.
+
+    The hot traversal path reads only the HBM-friendly packed layouts:
+
+    ``packed_nodes [N,6]`` float32 — aabb min | aabb max, one row gather
+      per node visit.
+
+    ``packed_links [N,2]`` int32 — per node:
+      [0] "a-link": >= 0 -> internal, value = hit link;
+          < 0 -> leaf, value = -(first*LEAF_PACK + count) - 2,
+      [1] skip link (-1 terminates).
+      Links are a SEPARATE int array on purpose: bitcasting them into
+      float rows corrupts them on TPU (NaN canonicalization rewrites the
+      0xFFFFFFFF pattern of -1, and denormal flush zeroes small links).
+
+    ``packed_tris [F,9]`` float32 — triangle vertices PRE-SORTED in Morton
+    order (row s = corners of face ``face_order[s]``), so the leaf sweep
+    is a single contiguous-row gather with no index indirection; the best
+    sorted slot maps back to a face id via ``face_order`` once, at the end.
     """
 
     node_min: jnp.ndarray  # [N,3] float32
@@ -51,10 +74,27 @@ class Bvh(NamedTuple):
     leaf_first: jnp.ndarray  # [N] int32 into face_order
     leaf_count: jnp.ndarray  # [N] int32
     face_order: jnp.ndarray  # [F] int32: face ids in Morton order
+    packed_nodes: jnp.ndarray  # [N,6] float32 aabb min|max
+    packed_links: jnp.ndarray  # [N,2] int32 a-link | skip link
+    packed_tris: jnp.ndarray  # [F,9] float32 sorted v0|v1|v2
 
     @property
     def num_faces(self) -> int:
         return self.face_order.shape[0]
+
+
+def _pack_layouts(node_min, node_max, hit_link, skip_link, is_leaf,
+                  leaf_first, leaf_count, face_order, v0, v1, v2):
+    """Assemble the packed node/tri layouts from the component arrays."""
+    a_link = jnp.where(
+        is_leaf, -(leaf_first * LEAF_PACK + leaf_count) - 2, hit_link
+    ).astype(jnp.int32)
+    packed_nodes = jnp.concatenate([node_min, node_max], axis=1)
+    packed_links = jnp.stack([a_link, skip_link.astype(jnp.int32)], axis=1)
+    packed_tris = jnp.concatenate(
+        [v0[face_order], v1[face_order], v2[face_order]], axis=1
+    )
+    return packed_nodes, packed_links, packed_tris
 
 
 # ---------------------------------------------------------------------------
@@ -186,6 +226,12 @@ def build_bvh(positions: jnp.ndarray, faces: jnp.ndarray, cfg: BvhConfig = BvhCo
     codes = codes[order]
 
     if num_faces == 1:
+        packed_nodes, packed_links, packed_tris = _pack_layouts(
+            tri_min, tri_max,
+            jnp.array([-1], jnp.int32), jnp.array([-1], jnp.int32),
+            jnp.array([True]), jnp.array([0], jnp.int32),
+            jnp.array([1], jnp.int32), order, v0, v1, v2,
+        )
         return Bvh(
             node_min=tri_min,
             node_max=tri_max,
@@ -195,6 +241,9 @@ def build_bvh(positions: jnp.ndarray, faces: jnp.ndarray, cfg: BvhConfig = BvhCo
             leaf_first=jnp.array([0], jnp.int32),
             leaf_count=jnp.array([1], jnp.int32),
             face_order=order,
+            packed_nodes=packed_nodes,
+            packed_links=packed_links,
+            packed_tris=packed_tris,
         )
 
     n = num_faces
@@ -266,6 +315,12 @@ def build_bvh(positions: jnp.ndarray, faces: jnp.ndarray, cfg: BvhConfig = BvhCo
 
     hit_link = jnp.concatenate([left, jnp.full((n,), -1, jnp.int32)])
 
+    assert cfg.max_leaf_faces < LEAF_PACK, "max_leaf_faces must fit LEAF_PACK"
+    packed_nodes, packed_links, packed_tris = _pack_layouts(
+        node_min, node_max, hit_link, skip_link, is_leaf,
+        node_first, size, order, v0, v1, v2,
+    )
+
     return Bvh(
         node_min=node_min,
         node_max=node_max,
@@ -275,4 +330,7 @@ def build_bvh(positions: jnp.ndarray, faces: jnp.ndarray, cfg: BvhConfig = BvhCo
         leaf_first=node_first,
         leaf_count=size,
         face_order=order,
+        packed_nodes=packed_nodes,
+        packed_links=packed_links,
+        packed_tris=packed_tris,
     )

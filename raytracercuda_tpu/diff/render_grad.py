@@ -47,6 +47,8 @@ def hit_ids_nondiff(
     origin: jnp.ndarray,
     direction: jnp.ndarray,
     config: RenderConfig,
+    frame_hw=None,
+    common_origin=None,
 ) -> jnp.ndarray:
     """Integer hit face ids with gradients severed."""
     hit = trace_hit(
@@ -55,6 +57,9 @@ def hit_ids_nondiff(
         jax.lax.stop_gradient(origin),
         jax.lax.stop_gradient(direction),
         config,
+        frame_hw=frame_hw,
+        common_origin=None if common_origin is None
+        else jax.lax.stop_gradient(common_origin),
     )
     return hit.face
 
@@ -77,7 +82,7 @@ def recompute_hit(
     )
 
 
-@partial(jax.jit, static_argnames=("config", "shading", "with_shadows"))
+@partial(jax.jit, static_argnames=("config", "shading", "with_shadows", "frame_hw"))
 def render_rgb(
     scene: SceneData,
     accel,
@@ -88,6 +93,7 @@ def render_rgb(
     shading: str = "lambert",
     with_shadows: bool = False,
     light_dir=(0.4, 0.8, -0.45),
+    frame_hw=None,
 ) -> jnp.ndarray:
     """Differentiable forward render -> float RGB ``[R,3]``.
 
@@ -100,7 +106,8 @@ def render_rgb(
     dirs = rotate_rays(initial_rays, orient)
     origin = jnp.broadcast_to(eye[None, :], dirs.shape)
 
-    face_ids = hit_ids_nondiff(scene, accel, origin, dirs, config)
+    face_ids = hit_ids_nondiff(scene, accel, origin, dirs, config,
+                               frame_hw=frame_hw, common_origin=eye)
     hit = recompute_hit(scene, face_ids, origin, dirs)
 
     if shading == "normal":

@@ -246,5 +246,6 @@ class Scene:
             jnp.asarray(eye, jnp.float32),
             jnp.asarray(orient, jnp.float32),
             self.config,
+            frame_hw=(camera.height, camera.width),
         )
         return ERROR_ALL_FINE

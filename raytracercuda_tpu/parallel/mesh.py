@@ -1,0 +1,60 @@
+"""Device-mesh helpers for ray-tile sharding.
+
+The reference is single-process/single-GPU (`cudaSetDevice(count-1)`,
+`TestProgram/Program.cpp:121-124`) — it has no distribution layer at all.
+This module is the first-class TPU replacement mandated by BASELINE.json:
+rays shard over the chips of a ``jax.sharding.Mesh`` axis named ``"rays"``
+(the data-parallel axis of a ray tracer); scene + BVH are replicated.
+Multi-host initialization goes through ``jax.distributed`` when launched
+on a pod slice.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+RAY_AXIS = "rays"
+
+
+def make_ray_mesh(num_devices: int | None = None, devices=None) -> Mesh:
+    """A 1-D mesh over all (or the first N) devices, axis ``"rays"``."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (RAY_AXIS,))
+
+
+def ray_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for ``[R, ...]`` ray-major arrays: leading dim over chips."""
+    return NamedSharding(mesh, P(RAY_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_rays_for_mesh(rays, mesh: Mesh):
+    """Pad the leading (ray) dim to a multiple of the mesh size.
+
+    Returns (padded_rays, original_count)."""
+    n = mesh.devices.size
+    r = rays.shape[0]
+    rem = (-r) % n
+    if rem:
+        import jax.numpy as jnp
+
+        pad = [(0, rem)] + [(0, 0)] * (rays.ndim - 1)
+        rays = jnp.pad(rays, pad)
+    return rays, r
+
+
+def initialize_distributed() -> None:
+    """Multi-host bring-up (`jax.distributed.initialize`).  No-op when the
+    process is already initialized or single-host env vars are absent."""
+    try:
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError):
+        pass  # single-host / already initialized

@@ -1,0 +1,152 @@
+"""Sharded render and training steps over a TPU mesh.
+
+Ray tiles shard across chips (``shard_map`` over the ``"rays"`` axis);
+the flattened scene and the acceleration structure are replicated, so
+traversal touches only local HBM and NO communication happens in the
+forward pass.  The backward pass of the training step produces per-shard
+parameter gradients which are all-reduced with ``psum`` over ICI — XLA
+schedules the collective against the remaining backward computation
+(the overlap BASELINE.json's north star asks for).
+
+``shard_map`` (not plain jit-with-shardings) matters here: the traversal
+``while_loop``'s termination test is a global ``any`` — under jit that
+would force a cross-chip collective every iteration, while under
+shard_map each chip loops only until ITS rays finish.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..diff.render_grad import render_rgb
+from ..models.scene import SceneData
+from .mesh import RAY_AXIS
+
+
+def _spec_like(tree, spec):
+    return jax.tree_util.tree_map(lambda _: spec, tree)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "mesh", "shading", "with_shadows"),
+)
+def render_sharded(
+    scene: SceneData,
+    accel,
+    initial_rays: jnp.ndarray,
+    eye: jnp.ndarray,
+    orient: jnp.ndarray,
+    config: RenderConfig,
+    mesh: Mesh,
+    shading: str = "lambert",
+    with_shadows: bool = False,
+) -> jnp.ndarray:
+    """Forward render with rays sharded over the mesh -> ``[R,3]`` RGB.
+
+    ``initial_rays.shape[0]`` must divide by the mesh size (use
+    ``parallel.mesh.pad_rays_for_mesh``)."""
+
+    def local_render(scene, accel, rays_shard, eye, orient):
+        return render_rgb(
+            scene, accel, rays_shard, eye, orient, config,
+            shading=shading, with_shadows=with_shadows,
+        )
+
+    return jax.shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(
+            _spec_like(scene, P()),
+            _spec_like(accel, P()),
+            P(RAY_AXIS),
+            P(),
+            P(),
+        ),
+        out_specs=P(RAY_AXIS),
+        # Traversal while_loop carries are initialized shard-uniform and
+        # become ray-varying in the first iteration; skip strict varying-
+        # manual-axes checking rather than pvary-annotating every carry.
+        check_vma=False,
+    )(scene, accel, initial_rays, eye, orient)
+
+
+def make_train_step(config: RenderConfig, mesh: Mesh, optimizer=None,
+                    shading: str = "lambert", with_shadows: bool = False):
+    """Build a jitted distributed training step for inverse rendering.
+
+    The returned ``step(params, opt_state, scene, accel, rays, eye,
+    orient, target)`` returns ``(params, opt_state, loss)``.  ``params``
+    is a pytree of differentiable scene parameters — by convention
+    ``{"positions": [V,3]}`` plus optionally ``albedo``/``textures`` —
+    grafted onto the (replicated) scene before rendering.  Gradients are
+    ``psum``-reduced over the ray axis inside shard_map, so each chip
+    holds identical updated parameters afterwards.
+    """
+    import optax
+
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+
+    def graft(scene: SceneData, params) -> SceneData:
+        rep = {}
+        if "positions" in params:
+            rep["positions"] = params["positions"]
+        if "albedo" in params:
+            rep["albedo"] = params["albedo"]
+        if "textures" in params:
+            rep["textures"] = params["textures"]
+        if "normals" in params:
+            rep["attrs"] = {**scene.attrs, 1: params["normals"]}
+        return scene._replace(**rep)
+
+    def local_loss(params, scene, accel, rays_shard, eye, orient, target_shard):
+        img = render_rgb(
+            graft(scene, params), accel, rays_shard, eye, orient, config,
+            shading=shading, with_shadows=with_shadows,
+        )
+        # Mean over ALL rays: scale local sum by the global count.
+        n_total = rays_shard.shape[0] * mesh.devices.size
+        return jnp.sum((img - target_shard) ** 2) / (n_total * 3)
+
+    def local_step(params, opt_state, scene, accel, rays_shard, eye, orient, target_shard):
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, scene, accel, rays_shard, eye, orient, target_shard
+        )
+        # Gradient all-reduce over ICI (`psum`), overlapped by XLA with the
+        # rest of backward — the analog the reference never had.
+        grads = jax.lax.psum(grads, RAY_AXIS)
+        loss = jax.lax.psum(loss, RAY_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @partial(jax.jit, static_argnames=())
+    def step(params, opt_state, scene, accel, rays, eye, orient, target):
+        return jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(
+                _spec_like(params, P()),
+                _spec_like(opt_state, P()),
+                _spec_like(scene, P()),
+                _spec_like(accel, P()),
+                P(RAY_AXIS),
+                P(),
+                P(),
+                P(RAY_AXIS),
+            ),
+            out_specs=(
+                _spec_like(params, P()),
+                _spec_like(opt_state, P()),
+                P(),
+            ),
+            check_vma=False,
+        )(params, opt_state, scene, accel, rays, eye, orient, target)
+
+    return step, optimizer

@@ -32,14 +32,36 @@ def trace_hit(
     origin: jnp.ndarray,
     direction: jnp.ndarray,
     config: RenderConfig,
+    frame_hw: tuple[int, int] | None = None,
+    common_origin: jnp.ndarray | None = None,
 ) -> Hit:
-    """Closest-hit dispatch over the configured acceleration backend."""
+    """Closest-hit dispatch over the configured acceleration backend.
+
+    ``frame_hw`` + ``common_origin`` unlock the beam fast path for
+    pinhole frames (one traversal per pixel tile)."""
     kind = config.accel
     if kind == AccelKind.BRUTE or accel is None:
         from .bruteforce import trace_brute
 
         return trace_brute(scene.positions, scene.faces, origin, direction, config.trace)
     if kind == AccelKind.BVH:
+        tc = config.trace
+        if (
+            tc.use_beam
+            and frame_hw is not None
+            and common_origin is not None
+            and frame_hw[0] % tc.beam_tile == 0
+            and frame_hw[1] % tc.beam_tile == 0
+        ):
+            from .beam import trace_beam
+
+            return trace_beam(
+                accel, common_origin, direction,
+                height=frame_hw[0], width=frame_hw[1],
+                tile_px=tc.beam_tile, queue=tc.beam_queue,
+                cfg=config.bvh, trace_cfg=tc,
+                tiles_per_chunk=tc.beam_tiles_per_chunk,
+            )
         from .traverse import trace_bvh
 
         return trace_bvh(accel, scene.positions, scene.faces, origin, direction,
@@ -57,7 +79,7 @@ def trace_hit(
     raise ValueError(f"unknown accel kind {kind}")
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "frame_hw"))
 def trace_to_buffer(
     scene: SceneData,
     accel,
@@ -65,6 +87,7 @@ def trace_to_buffer(
     eye: jnp.ndarray,
     orient: jnp.ndarray,
     config: RenderConfig,
+    frame_hw: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Full parity frame: returns the ``[R]`` packed-u32 framebuffer the
     reference's march kernels write (`BuildTree.cu:486-496`)."""
@@ -72,5 +95,6 @@ def trace_to_buffer(
 
     dirs = rotate_rays(initial_rays, orient)
     origin = jnp.broadcast_to(eye[None, :], dirs.shape)
-    hit = trace_hit(scene, accel, origin, dirs, config)
+    hit = trace_hit(scene, accel, origin, dirs, config,
+                    frame_hw=frame_hw, common_origin=eye)
     return shade_normal_packed(scene, hit)
