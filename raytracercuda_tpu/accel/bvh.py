@@ -60,7 +60,7 @@ class Bvh(NamedTuple):
       float rows corrupts them on TPU (NaN canonicalization rewrites the
       0xFFFFFFFF pattern of -1, and denormal flush zeroes small links).
 
-    ``packed_tris [F,9]`` float32 — triangle vertices PRE-SORTED in Morton
+    ``packed_tris [F+LEAF_PACK,9]`` float32 — triangle vertices PRE-SORTED in Morton
     order (row s = corners of face ``face_order[s]``), so the leaf sweep
     is a single contiguous-row gather with no index indirection; the best
     sorted slot maps back to a face id via ``face_order`` once, at the end.
@@ -76,7 +76,7 @@ class Bvh(NamedTuple):
     face_order: jnp.ndarray  # [F] int32: face ids in Morton order
     packed_nodes: jnp.ndarray  # [N,6] float32 aabb min|max
     packed_links: jnp.ndarray  # [N,2] int32 a-link | skip link
-    packed_tris: jnp.ndarray  # [F,9] float32 sorted v0|v1|v2
+    packed_tris: jnp.ndarray  # [F+LEAF_PACK,9] float32 sorted v0|v1|v2 (zero tail)
 
     @property
     def num_faces(self) -> int:
@@ -91,8 +91,14 @@ def _pack_layouts(node_min, node_max, hit_link, skip_link, is_leaf,
     ).astype(jnp.int32)
     packed_nodes = jnp.concatenate([node_min, node_max], axis=1)
     packed_links = jnp.stack([a_link, skip_link.astype(jnp.int32)], axis=1)
+    # LEAF_PACK zero rows of tail padding let the dense-test phase read
+    # whole leaves with unclipped contiguous slices (zero rows are
+    # degenerate triangles -> NaN barycentrics -> MT miss).
     packed_tris = jnp.concatenate(
         [v0[face_order], v1[face_order], v2[face_order]], axis=1
+    )
+    packed_tris = jnp.concatenate(
+        [packed_tris, jnp.zeros((LEAF_PACK, 9), jnp.float32)], axis=0
     )
     return packed_nodes, packed_links, packed_tris
 

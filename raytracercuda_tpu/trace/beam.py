@@ -209,7 +209,14 @@ def trace_beam(
                 cand = leaf_block * k_leaf
                 slots = jnp.clip(slots, 0, num_slots - 1).reshape(n_tiles_c, cand)
                 valid = valid.reshape(n_tiles_c, cand)
-                tri = bvh.packed_tris[slots]  # [C, cand, 9]
+                # Whole-leaf contiguous reads (one [K,9] slice per queue
+                # entry) instead of per-slot row gathers — packed_tris has
+                # a LEAF_PACK zero-row tail so no clipping is needed.
+                tri = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        bvh.packed_tris, (s, jnp.int32(0)), (k_leaf, 9))
+                )(jnp.maximum(qf_b, 0).reshape(-1))
+                tri = tri.reshape(n_tiles_c, cand, 9)
                 t, u, v = tri_intersect(
                     eye[None, None, :],
                     d_c[:, :, None, :],  # [C, R, 1, 3]
@@ -377,7 +384,6 @@ def occlusion_beam(
     ov_lo, ov_hi = proj_interval(v, obox_min, obox_max)
     ol_lo, _ = proj_interval(l, obox_min, obox_max)
 
-    num_slots = bvh.packed_tris.shape[0]
     t_eps = jnp.float32(trace_cfg.t_epsilon)
     k_leaf = cfg.max_leaf_faces
     rows = jnp.arange(num_tiles)
@@ -446,15 +452,17 @@ def occlusion_beam(
                 q_idx = jnp.clip(q_lo + b_ids, 0, queue - 1)
                 qf_b = qf_c[:, q_idx]
                 qc_b = qc_c[:, q_idx]
-                slots = qf_b[:, :, None] + k_off[None, None, :]
                 valid = (
                     ((q_lo + b_ids)[None, :, None] < qn_c[:, None, None])
                     & (k_off[None, None, :] < qc_b[:, :, None])
                 )
                 cand = leaf_block * k_leaf
-                slots = jnp.clip(slots, 0, num_slots - 1).reshape(n_tiles_c, cand)
                 valid = valid.reshape(n_tiles_c, cand)
-                tri = bvh.packed_tris[slots]
+                tri = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        bvh.packed_tris, (s, jnp.int32(0)), (k_leaf, 9))
+                )(jnp.maximum(qf_b, 0).reshape(-1))
+                tri = tri.reshape(n_tiles_c, cand, 9)
                 t, _, _ = tri_intersect(
                     o_c[:, :, None, :],
                     l[None, None, None, :],
