@@ -31,8 +31,7 @@ def main() -> None:
     from raytracercuda_tpu.accel.bvh import build_bvh
     from raytracercuda_tpu.models.camera import camera_ray_grid
     from raytracercuda_tpu.models.loader import load_model
-    from raytracercuda_tpu.trace.beam import trace_beam
-    from raytracercuda_tpu.trace.shadow import build_shadow_grid, occlusion_grid
+    from raytracercuda_tpu.trace.beam import occlusion_beam, trace_beam
     from raytracercuda_tpu.trace.pipeline import rotate_rays
     from raytracercuda_tpu.trace.shade import pack_shaded, shade_lambert_rgb
     from raytracercuda_tpu.utils import content
@@ -60,32 +59,36 @@ def main() -> None:
     light = light / jnp.linalg.norm(light)
 
     accel = build_bvh(data.positions, data.faces, config.bvh)
-    shadow_grid = build_shadow_grid(data.positions, data.faces, light, res=128)
-    jax.block_until_ready((accel, shadow_grid))
+    jax.block_until_ready(accel)
+    # Shadow-ray offset scaled to the scene, not hardcoded: push the origin
+    # toward the light far enough to clear the surface at float precision.
+    shadow_eps = jnp.float32(config.trace.t_epsilon * extent)
+
+    kw = dict(tile_px=config.trace.beam_tile, queue=config.trace.beam_queue,
+              cfg=config.bvh, trace_cfg=config.trace,
+              tiles_per_chunk=config.trace.beam_tiles_per_chunk)
 
     @jax.jit
-    def frame(scene, accel, shadow_grid, rays, eye, orient):
+    def frame(scene, accel, rays, eye, orient):
         dirs = rotate_rays(rays, orient)
         origin = jnp.broadcast_to(eye[None, :], dirs.shape)
-        hit = trace_beam(accel, eye, dirs, height=HEIGHT, width=WIDTH,
-                         tile_px=config.trace.beam_tile,
-                         queue=config.trace.beam_queue,
-                         cfg=config.bvh, trace_cfg=config.trace,
-                         tiles_per_chunk=config.trace.beam_tiles_per_chunk)
+        hit = trace_beam(accel, eye, dirs, height=HEIGHT, width=WIDTH, **kw)
         p = origin + dirs * jnp.minimum(hit.t, 1e6)[..., None]
-        shadow_origin = jnp.where(hit.hit_mask[..., None], p, origin) + light * 1e-3
-        shadow = occlusion_grid(shadow_grid, shadow_origin, hit.hit_mask,
-                                trace_cfg=config.trace)
+        shadow_origin = (
+            jnp.where(hit.hit_mask[..., None], p, origin) + light * shadow_eps
+        )
+        shadow = occlusion_beam(accel, shadow_origin, light, hit.hit_mask,
+                                height=HEIGHT, width=WIDTH, **kw)
         rgb = shade_lambert_rgb(scene, hit, origin, dirs,
                                 shadow_mask=shadow & hit.hit_mask)
         return pack_shaded(rgb)
 
-    out = frame(data, accel, shadow_grid, rays, eye, orient)
+    out = frame(data, accel, rays, eye, orient)
     out.block_until_ready()  # compile + warmup
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = frame(data, accel, shadow_grid, rays, eye, orient)
+        out = frame(data, accel, rays, eye, orient)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / ITERS
 
