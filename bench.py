@@ -24,19 +24,27 @@ ITERS = 5
 
 def main() -> None:
     import jax
+
+    # Persist compiled executables across processes: the remote-compile
+    # tunnel costs minutes per program, the cache makes reruns instant.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
     from raytracercuda_tpu import AccelKind, RenderConfig, Scene
-    from raytracercuda_tpu.accel.bvh import build_bvh
+    from raytracercuda_tpu.accel.clusters import build_clusters
     from raytracercuda_tpu.models.camera import camera_ray_grid
     from raytracercuda_tpu.models.loader import load_model
-    from raytracercuda_tpu.trace.beam import occlusion_beam, trace_beam
+    from raytracercuda_tpu.trace.dense import occlusion_dense, trace_dense
     from raytracercuda_tpu.trace.pipeline import rotate_rays
     from raytracercuda_tpu.trace.shade import pack_shaded, shade_lambert_rgb
     from raytracercuda_tpu.utils import content
 
-    config = RenderConfig(accel=AccelKind.BVH)
+    config = RenderConfig(accel=AccelKind.CLUSTER)
     scene = Scene.create(config)
     bunny = content.find("bunny.obj")
     if bunny is not None:
@@ -58,30 +66,44 @@ def main() -> None:
     light = jnp.asarray([0.4, 0.8, -0.45], jnp.float32)
     light = light / jnp.linalg.norm(light)
 
-    accel = build_bvh(data.positions, data.faces, config.bvh)
+    accel = build_clusters(data.positions, data.faces, config.cluster)
     jax.block_until_ready(accel)
     # Shadow-ray offset scaled to the scene, not hardcoded: push the origin
     # toward the light far enough to clear the surface at float precision.
     shadow_eps = jnp.float32(config.trace.t_epsilon * extent)
 
-    kw = dict(tile_px=config.trace.beam_tile, queue=config.trace.beam_queue,
-              cfg=config.bvh, trace_cfg=config.trace,
-              tiles_per_chunk=config.trace.beam_tiles_per_chunk)
+    tc = config.trace
+    kw = dict(tile_px=tc.dense_tile_px, round_k=tc.dense_round_clusters,
+              tiles_per_chunk=tc.dense_tiles_per_chunk,
+              cluster_chunk=tc.dense_cluster_chunk, trace_cfg=tc)
 
+    # Three separately-jitted stages (trace/occlusion/shade) rather than one
+    # frame-sized program: device-to-device handoff between them is free,
+    # and per-stage programs keep remote compile times bounded.
     @jax.jit
-    def frame(scene, accel, rays, eye, orient):
+    def prep(rays, eye, orient):
         dirs = rotate_rays(rays, orient)
         origin = jnp.broadcast_to(eye[None, :], dirs.shape)
-        hit = trace_beam(accel, eye, dirs, height=HEIGHT, width=WIDTH, **kw)
-        p = origin + dirs * jnp.minimum(hit.t, 1e6)[..., None]
-        shadow_origin = (
-            jnp.where(hit.hit_mask[..., None], p, origin) + light * shadow_eps
-        )
-        shadow = occlusion_beam(accel, shadow_origin, light, hit.hit_mask,
-                                height=HEIGHT, width=WIDTH, **kw)
+        return dirs, origin
+
+    @jax.jit
+    def shadow_origins(hit_t, hit_mask, origin, dirs):
+        p = origin + dirs * jnp.minimum(hit_t, 1e6)[..., None]
+        return jnp.where(hit_mask[..., None], p, origin) + light * shadow_eps
+
+    @jax.jit
+    def shade(scene, hit, origin, dirs, shadow):
         rgb = shade_lambert_rgb(scene, hit, origin, dirs,
                                 shadow_mask=shadow & hit.hit_mask)
         return pack_shaded(rgb)
+
+    def frame(scene, accel, rays, eye, orient):
+        dirs, origin = prep(rays, eye, orient)
+        hit = trace_dense(accel, eye, dirs, height=HEIGHT, width=WIDTH, **kw)
+        so = shadow_origins(hit.t, hit.hit_mask, origin, dirs)
+        shadow = occlusion_dense(accel, so, light, hit.hit_mask,
+                                 height=HEIGHT, width=WIDTH, **kw)
+        return shade(scene, hit, origin, dirs, shadow)
 
     out = frame(data, accel, rays, eye, orient)
     out.block_until_ready()  # compile + warmup

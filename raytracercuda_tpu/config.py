@@ -28,6 +28,9 @@ class AccelKind(enum.Enum):
     - ``WAVEFRONT``: queue/compaction-based traversal over the same BVH —
                    completes the reference's unfinished "PROGRESSIVE" path
                    (`Raytracer/Trace2.cu`).
+    - ``CLUSTER``: Morton-ordered flat triangle clusters culled DENSELY
+                   (matrix form) against pixel-tile beams — the fastest
+                   TPU path; see `accel/clusters.py` and `trace/dense.py`.
     - ``BRUTE``:   no structure; tiled all-pairs intersection.  This is the
                    correctness oracle, the analog of the reference's
                    ``#define CUDA 0`` CPU fallback (`Raytracer/CudaComon.cuh:36-56`).
@@ -36,6 +39,7 @@ class AccelKind(enum.Enum):
     BVH = "bvh"
     GRID = "grid"
     WAVEFRONT = "wavefront"
+    CLUSTER = "cluster"
     BRUTE = "brute"
 
 
@@ -56,6 +60,22 @@ class BvhConfig:
     #: leaves make a shallower tree — shorter beam walks and bigger dense
     #: VPU sweeps; 16 is the measured sweet spot on TPU v5e (bunny 512^2).
     max_leaf_faces: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusterConfig:
+    """Dense cluster structure knobs (`accel/clusters.py`).
+
+    Plays the role of the reference's leaf-capacity knobs
+    (MAX_FACES_PER_BOX, `BuildTree.cuh:17`) for the dense TPU fast path.
+    """
+
+    #: Morton-consecutive triangles per cluster.  The dense sweep tests
+    #: whole clusters, so this is the work granularity: smaller = tighter
+    #: culling, larger = fewer/cheaper bookkeeping rows.
+    cluster_size: int = 16
+    #: Morton quantization bits per axis.
+    morton_bits: int = 10
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +138,17 @@ class TraceConfig:
     #: Beam tiles processed together in the dense test phase (bounds the
     #: [tiles x rays x candidates] intermediate).
     beam_tiles_per_chunk: int = 32
+    #: --- dense (CLUSTER) fast-path knobs (`trace/dense.py`) -------------
+    #: Pixels per dense-tile edge.
+    dense_tile_px: int = 16
+    #: Candidate clusters tested per tile per round (the K window).
+    dense_round_clusters: int = 32
+    #: Tiles processed together in the dense sweep (bounds the
+    #: [tiles x rays x K*cluster_size] intermediate).
+    dense_tiles_per_chunk: int = 32
+    #: Cluster-column chunk for the [tiles x clusters] cull/sort rectangle;
+    #: scenes with more clusters run multiple exact passes.
+    dense_cluster_chunk: int = 8192
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,6 +157,7 @@ class RenderConfig:
 
     accel: AccelKind = AccelKind.BVH
     bvh: BvhConfig = dataclasses.field(default_factory=BvhConfig)
+    cluster: ClusterConfig = dataclasses.field(default_factory=ClusterConfig)
     grid: GridConfig = dataclasses.field(default_factory=GridConfig)
     wavefront: WavefrontConfig = dataclasses.field(default_factory=WavefrontConfig)
     trace: TraceConfig = dataclasses.field(default_factory=TraceConfig)

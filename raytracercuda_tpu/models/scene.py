@@ -45,6 +45,8 @@ class SceneData(NamedTuple):
     albedo: jnp.ndarray  # [M,3] float32 material base color
     texture_id: jnp.ndarray  # [M] int32 index into textures, -1 = none
     textures: jnp.ndarray  # [T,H,W,3] float32 texture atlas (T>=1)
+    #: [M] float32 mirror reflectance (None == all 0; drives multi-bounce).
+    reflectivity: Optional[jnp.ndarray] = None
 
     @property
     def num_faces(self) -> int:
@@ -73,9 +75,11 @@ class Material:
     """Host-side material — ``bmMaterial`` analog (`SharedTypes.h:20-23`,
     which holds only a texture id) extended with a base color."""
 
-    def __init__(self, albedo=(1.0, 1.0, 1.0), texture_id: int = -1):
+    def __init__(self, albedo=(1.0, 1.0, 1.0), texture_id: int = -1,
+                 reflectivity: float = 0.0):
         self.albedo = tuple(float(c) for c in albedo)
         self.texture_id = texture_id
+        self.reflectivity = float(reflectivity)
 
 
 def flatten_meshes(
@@ -145,6 +149,9 @@ def flatten_meshes(
         albedo=jnp.asarray(np.array([m.albedo for m in materials], np.float32)),
         texture_id=jnp.asarray(np.array([m.texture_id for m in materials], np.int32)),
         textures=jnp.asarray(tex),
+        reflectivity=jnp.asarray(
+            np.array([m.reflectivity for m in materials], np.float32)
+        ),
     )
 
 
@@ -208,6 +215,11 @@ class Scene:
             from ..accel.bvh import build_bvh
 
             self._accel = build_bvh(data.positions, data.faces, self.config.bvh)
+        elif kind == AccelKind.CLUSTER:
+            from ..accel.clusters import build_clusters
+
+            self._accel = build_clusters(data.positions, data.faces,
+                                         self.config.cluster)
         elif kind == AccelKind.GRID:
             from ..accel.grid import build_grid
 

@@ -44,6 +44,28 @@ def trace_hit(
         from .bruteforce import trace_brute
 
         return trace_brute(scene.positions, scene.faces, origin, direction, config.trace)
+    if kind == AccelKind.CLUSTER:
+        tc = config.trace
+        if (
+            frame_hw is not None
+            and common_origin is not None
+            and frame_hw[0] % tc.dense_tile_px == 0
+            and frame_hw[1] % tc.dense_tile_px == 0
+        ):
+            from .dense import trace_dense
+
+            return trace_dense(
+                accel, common_origin, direction,
+                height=frame_hw[0], width=frame_hw[1],
+                tile_px=tc.dense_tile_px, round_k=tc.dense_round_clusters,
+                tiles_per_chunk=tc.dense_tiles_per_chunk,
+                cluster_chunk=tc.dense_cluster_chunk, trace_cfg=tc,
+            )
+        # Arbitrary bundles (no shared origin / frame) take the exact
+        # per-ray cluster sweep.
+        from .dense import trace_clusters_rays
+
+        return trace_clusters_rays(accel, origin, direction, config.trace)
     if kind == AccelKind.BVH:
         tc = config.trace
         if (

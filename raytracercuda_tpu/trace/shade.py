@@ -22,7 +22,9 @@ from ..ops.math import normalize, pack_rgb_vec
 from ..types import Hit
 
 #: Background value 255<<8 (`BuildTree.cu:495`).
-MISS_COLOR_PACKED = jnp.uint32(255 << 8)
+import numpy as _np
+
+MISS_COLOR_PACKED = _np.uint32(255 << 8)
 
 
 def interpolate_slot(scene: SceneData, hit: Hit, slot: int) -> jnp.ndarray:

@@ -14,14 +14,17 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 # Numeric limits: the reference uses FLT_MAX as the miss sentinel throughout
-# (`CudaComon.cuh:143,147`, `BuildTree.cu:389`).
-FLT_MAX = jnp.float32(3.4028234663852886e38)
+# (`CudaComon.cuh:143,147`, `BuildTree.cu:389`).  NumPy scalars on purpose:
+# module import must NOT initialize the JAX backend (multi-host bring-up
+# calls `jax.distributed.initialize` after importing the package).
+FLT_MAX = np.float32(3.4028234663852886e38)
 
 # Sentinel for "no face" / invalid index.
-INVALID_U32 = jnp.uint32(0xFFFFFFFF)
-INVALID_I32 = jnp.int32(-1)
+INVALID_U32 = np.uint32(0xFFFFFFFF)
+INVALID_I32 = np.int32(-1)
 
 
 class Rays(NamedTuple):
