@@ -146,9 +146,13 @@ def _clz32(x: jnp.ndarray) -> jnp.ndarray:
 
 def _karras_ranges(codes: jnp.ndarray):
     """For each internal node i in [0, n-2], the covered sorted-leaf range
-    and the split position, via the longest-common-prefix metric."""
+    and the split position, via the longest-common-prefix metric.
+
+    All three searches run exactly ``ceil(log2(n))``-bounded trip counts
+    (n is static), not fixed 30-32 passes — ranges can never exceed n."""
     n = codes.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
+    log2n = max(1, (n - 1).bit_length())
 
     def delta(i, j):
         """LCP of sorted keys i and j; -1 outside [0, n).  Equal codes fall
@@ -168,16 +172,15 @@ def _karras_ranges(codes: jnp.ndarray):
     d = jnp.sign(delta(i, i + 1) - delta(i, i - 1)).astype(jnp.int32)
     dmin = delta(i, i - d)
 
-    # Doubling search for an upper bound on the range length.
+    # Doubling search for an upper bound on the range length (l <= n).
     lmax = jnp.full_like(i, 2)
-    for _ in range(32):
+    for _ in range(log2n):
         grow = delta(i, i + lmax * d) > dmin
-        new_lmax = lmax * 2
-        lmax = jnp.where(grow & (new_lmax > lmax), new_lmax, lmax)
+        lmax = jnp.where(grow, lmax * 2, lmax)
 
     # Binary search for the exact other end j = i + l*d.
     l = jnp.zeros_like(i)
-    for k in range(1, 33):
+    for k in range(1, log2n + 2):
         t = lmax >> k
         cond = (t > 0) & (delta(i, i + (l + t) * d) > dmin)
         l = jnp.where(cond, l + t, l)
@@ -186,9 +189,8 @@ def _karras_ranges(codes: jnp.ndarray):
     # Binary search for the split position (highest differing bit inside).
     dnode = delta(i, j)
     s = jnp.zeros_like(i)
-    # t = ceil(l / 2^k) for k = 1..30 (int32-safe; extra t==1 rounds are
-    # no-ops because their probe condition is already False).
-    for k in range(1, 31):
+    # t = ceil(l / 2^k); extra t==1 rounds are no-ops (probe already False).
+    for k in range(1, log2n + 1):
         div = 1 << k
         t = (l + (div - 1)) // div
         cond = (t >= 1) & (delta(i, i + (s + t) * d) > dnode)
@@ -271,28 +273,39 @@ def build_bvh(positions: jnp.ndarray, faces: jnp.ndarray, cfg: BvhConfig = BvhCo
     node_last = jnp.concatenate([last, jnp.arange(n, dtype=jnp.int32)])
     size = node_last - node_first + 1
 
-    # ---- bottom-up AABB refit (bounded converging passes) ----------------
+    # ---- AABB "refit" as a range-min/max query ----------------------------
+    # A Karras node's AABB is the union of a CONTIGUOUS run of sorted leaf
+    # boxes, so instead of O(depth) bottom-up converging passes we build a
+    # sparse table (log2(n) elementwise min/max passes over the sorted leaf
+    # boxes) and answer every internal node with two gathers — O(n log n)
+    # work with no sequential tree-depth dependence at all.
     leaf_min = tri_min[order]
     leaf_max = tri_max[order]
-    node_min = jnp.concatenate([jnp.full((n - 1, 3), jnp.inf, jnp.float32), leaf_min])
-    node_max = jnp.concatenate([jnp.full((n - 1, 3), -jnp.inf, jnp.float32), leaf_max])
+    log2n = max(1, (n - 1).bit_length())
 
-    def refit_cond(state):
-        k, _, _, changed = state
-        return (k < cfg.max_depth) & changed
+    def sparse_table(leaf_vals, combine):
+        tbl = [leaf_vals]
+        for k in range(1, log2n + 1):
+            prev = tbl[-1]
+            sh = 1 << (k - 1)
+            shifted = prev[jnp.minimum(jnp.arange(n) + sh, n - 1)]
+            tbl.append(combine(prev, shifted))
+        return jnp.stack(tbl)  # [log2n+1, n, 3]
 
-    def refit_body(state):
-        k, nmin, nmax, _ = state
-        new_imin = jnp.minimum(nmin[left], nmin[right])
-        new_imax = jnp.maximum(nmax[left], nmax[right])
-        nmin2 = nmin.at[: n - 1].set(new_imin)
-        nmax2 = nmax.at[: n - 1].set(new_imax)
-        changed = jnp.any(nmin2 != nmin) | jnp.any(nmax2 != nmax)
-        return k + 1, nmin2, nmax2, changed
+    tbl_min = sparse_table(leaf_min, jnp.minimum)
+    tbl_max = sparse_table(leaf_max, jnp.maximum)
+    length = last - first + 1
+    klev = 31 - _clz32(length)  # floor(log2(len)) per internal node
+    hi_start = last - (1 << klev) + 1
 
-    _, node_min, node_max, _ = jax.lax.while_loop(
-        refit_cond, refit_body, (jnp.int32(0), node_min, node_max, jnp.bool_(True))
-    )
+    def rmq(tbl, combine):
+        flat = tbl.reshape(-1, 3)
+        a = flat[klev * n + first]
+        b = flat[klev * n + hi_start]
+        return combine(a, b)
+
+    node_min = jnp.concatenate([rmq(tbl_min, jnp.minimum), leaf_min])
+    node_max = jnp.concatenate([rmq(tbl_max, jnp.maximum), leaf_max])
 
     # ---- leaf collapse ---------------------------------------------------
     # A node becomes a traversal leaf when its subtree is small enough and
@@ -301,23 +314,20 @@ def build_bvh(positions: jnp.ndarray, faces: jnp.ndarray, cfg: BvhConfig = BvhCo
     parent_size = jnp.where(parent >= 0, size[jnp.maximum(parent, 0)], n + 1)
     is_leaf = (size <= k) & (parent_size > k)
 
-    # ---- skip-link threading (top-down converging passes) ----------------
-    # skip(left(v)) = right(v); skip(right(v)) = skip(v); skip(root) = -1.
-    def skip_cond(state):
-        j, _, changed = state
-        return (j < cfg.max_depth) & changed
-
-    def skip_body(state):
-        j, skip, _ = state
-        new_skip = skip.at[left].set(right)
-        new_skip = new_skip.at[right].set(skip[internal_ids])
-        changed = jnp.any(new_skip != skip)
-        return j + 1, new_skip, changed
-
-    skip0 = jnp.full((num_nodes,), -1, jnp.int32)
-    _, skip_link, _ = jax.lax.while_loop(
-        skip_cond, skip_body, (jnp.int32(0), skip0, jnp.bool_(True))
+    # ---- skip-link threading (closed form) --------------------------------
+    # In pre-order, the node visited after finishing subtree [a, b] is the
+    # LARGEST node whose range starts at b+1 (ranges starting at one index
+    # are nested, so "largest" is unique); no node follows b == n-1.  This
+    # replaces the O(depth) pointer-propagation passes with two scatters.
+    node_ids = jnp.arange(num_nodes, dtype=jnp.int32)
+    best_size = jnp.zeros((n,), jnp.int32).at[node_first].max(size)
+    winner = size == best_size[node_first]
+    best_id = (
+        jnp.full((n,), -1, jnp.int32)
+        .at[node_first]
+        .max(jnp.where(winner, node_ids, -1))
     )
+    skip_link = jnp.where(node_last == n - 1, -1, best_id[jnp.minimum(node_last + 1, n - 1)])
 
     hit_link = jnp.concatenate([left, jnp.full((n,), -1, jnp.int32)])
 
