@@ -1,0 +1,162 @@
+"""Multi-bounce (mirror-reflection) rendering with per-bounce compaction.
+
+The reference's wavefront path (`Trace2.cu:69-176`) was built to re-dispatch
+rays in bulk between stages but was never finished; this module completes
+that streaming idea for SECONDARY rays: after each bounce, surviving rays
+are compacted to the front of the bundle (a stable sort by activity that
+preserves their tile-major spatial order), so the cluster-sweep's collective
+culling sees dense, coherent chunks and exhausted chunks cost one bound
+check (`trace_clusters_rays` rounds are count-driven).
+
+Light model: Lambert + optional directional shadow on the primary hit,
+plus a mirror term weighted by the material's ``reflectivity`` at every
+bounce (throughput = product of reflectivities along the path).  Misses
+add the background along the remaining throughput.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..models.mesh import VERTEX_DATA_NORMAL
+from ..models.scene import SceneData
+from ..ops.math import normalize
+from ..types import Hit
+from .dense import occlusion_dense, trace_clusters_rays, trace_dense
+from .shade import interpolate_slot, shade_lambert_rgb
+
+
+def reflect(d: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Mirror ``d`` about unit normal ``n`` (rowwise ``[...,3]``)."""
+    return d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+
+
+def _hit_reflectivity(scene: SceneData, hit: Hit) -> jnp.ndarray:
+    mesh_id = scene.faces[jnp.maximum(hit.face, 0), 3]
+    mat_id = scene.mesh_material[mesh_id]
+    if scene.reflectivity is None:
+        return jnp.zeros(hit.face.shape, jnp.float32)
+    return jnp.where(hit.hit_mask, scene.reflectivity[mat_id], 0.0)
+
+
+def _bounce_geometry(scene: SceneData, hit: Hit, origin, direction, eps):
+    """New (origin, direction, facing normal) after a mirror bounce."""
+    n = interpolate_slot(scene, hit, VERTEX_DATA_NORMAL)
+    n = normalize(n, eps=1e-30)
+    flip = jnp.sum(n * direction, axis=-1) > 0.0
+    n = jnp.where(flip[..., None], -n, n)
+    p = origin + direction * jnp.minimum(hit.t, 3e37)[..., None]
+    new_d = reflect(direction, n)
+    new_o = p + n * eps
+    return new_o, new_d
+
+
+@partial(jax.jit, static_argnames=("config", "height", "width", "num_bounces",
+                                   "with_shadows", "use_brute"))
+def render_bounces(
+    cs,
+    scene: SceneData,
+    eye: jnp.ndarray,
+    dirs: jnp.ndarray,
+    height: int,
+    width: int,
+    config: RenderConfig,
+    num_bounces: int = 2,
+    light_dir=(0.4, 0.8, -0.45),
+    with_shadows: bool = True,
+    background=(0.0, 1.0, 0.0),
+    use_brute: bool = False,
+) -> jnp.ndarray:
+    """Pinhole frame with ``num_bounces`` mirror bounces -> ``[H*W,3]`` RGB.
+
+    ``use_brute`` swaps every trace for the brute-force oracle — the
+    correctness reference the tests compare against (same control flow,
+    so only the acceleration structure is under test).
+    """
+    tc = config.trace
+    eps = jnp.float32(tc.t_epsilon) * jnp.maximum(
+        jnp.max(cs.cmax) - jnp.min(cs.cmin), 1.0
+    ) if not use_brute else jnp.float32(tc.t_epsilon) * jnp.maximum(
+        jnp.max(scene.positions) - jnp.min(scene.positions), 1.0
+    )
+    light = jnp.asarray(light_dir, jnp.float32)
+    light = light / jnp.linalg.norm(light)
+    bg = jnp.asarray(background, jnp.float32)
+
+    origin = jnp.broadcast_to(eye[None, :], dirs.shape)
+    if use_brute:
+        from .bruteforce import trace_brute
+
+        hit = trace_brute(scene.positions, scene.faces, origin, dirs, tc)
+    else:
+        hit = trace_dense(cs, eye, dirs, height=height, width=width,
+                          tile_px=tc.dense_tile_px,
+                          round_k=tc.dense_round_clusters,
+                          tiles_per_chunk=tc.dense_tiles_per_chunk,
+                          cluster_chunk=tc.dense_cluster_chunk, trace_cfg=tc)
+
+    shadow = None
+    if with_shadows:
+        p = origin + dirs * jnp.minimum(hit.t, 3e37)[..., None]
+        so = jnp.where(hit.hit_mask[..., None], p, origin) + light * eps
+        if use_brute:
+            from .bruteforce import any_hit_brute
+            from ..types import FLT_MAX
+
+            shadow = any_hit_brute(
+                scene.positions, scene.faces, so,
+                jnp.broadcast_to(light, dirs.shape),
+                jnp.full(dirs.shape[:1], float(FLT_MAX)), tc,
+            ) & hit.hit_mask
+        else:
+            shadow = occlusion_dense(
+                cs, so, light, hit.hit_mask, height=height, width=width,
+                tile_px=tc.dense_tile_px, round_k=tc.dense_round_clusters,
+                tiles_per_chunk=tc.dense_tiles_per_chunk,
+                cluster_chunk=tc.dense_cluster_chunk, trace_cfg=tc,
+            )
+
+    rgb = shade_lambert_rgb(scene, hit, origin, dirs, light_dir=light_dir,
+                            shadow_mask=shadow, background=background)
+    refl = _hit_reflectivity(scene, hit)
+    # Remove the background the base shade already placed on misses —
+    # bounce accounting re-adds background along surviving throughput.
+    throughput = refl[..., None]
+    o, d = _bounce_geometry(scene, hit, origin, dirs, eps)
+    active = hit.hit_mask & (refl > 0.0)
+
+    for _ in range(num_bounces):
+        # Per-bounce compaction: stable-partition active rays to the front
+        # (preserves tile-major coherence) so the sweep's chunks are dense.
+        perm = jnp.argsort(~active, stable=True)
+        unperm = jnp.argsort(perm, stable=True)
+        if use_brute:
+            from .bruteforce import trace_brute
+
+            hit_p = trace_brute(scene.positions, scene.faces, o[perm],
+                                d[perm], tc)
+            hit_p = Hit(
+                t=jnp.where(active[perm], hit_p.t, jnp.float32(3.4e38)),
+                u=hit_p.u, v=hit_p.v,
+                face=jnp.where(active[perm], hit_p.face, -1),
+            )
+        else:
+            hit_p = trace_clusters_rays(cs, o[perm], d[perm], tc,
+                                        active=active[perm])
+        hit = jax.tree_util.tree_map(lambda x: x[unperm], hit_p)
+
+        local = shade_lambert_rgb(scene, hit, o, d, light_dir=light_dir,
+                                  background=background)
+        contrib = jnp.where(active[..., None], throughput * local, 0.0)
+        rgb = rgb + contrib
+
+        refl = _hit_reflectivity(scene, hit)
+        throughput = throughput * refl[..., None]
+        o, d = _bounce_geometry(scene, hit, o, d, eps)
+        active = active & hit.hit_mask & (refl > 0.0)
+
+    return rgb
