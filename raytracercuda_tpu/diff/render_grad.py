@@ -124,6 +124,7 @@ def render_rgb(
         t_eps = config.trace.t_epsilon
         shadow_origin = jax.lax.stop_gradient(p) + l * (10 * t_eps)
         shadow_dir = jnp.broadcast_to(l, dirs.shape)
+        accel_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, accel)
         if config.accel == AccelKind.BRUTE or accel is None:
             from ..trace.bruteforce import any_hit_brute
 
@@ -131,11 +132,36 @@ def render_rgb(
                 sg.positions, sg.faces, shadow_origin, shadow_dir,
                 jnp.full(dirs.shape[:1], FLT_MAX), config.trace,
             )
+        elif config.accel == AccelKind.CLUSTER:
+            tc = config.trace
+            if (
+                frame_hw is not None
+                and frame_hw[0] % tc.dense_tile_px == 0
+                and frame_hw[1] % tc.dense_tile_px == 0
+            ):
+                from ..trace.dense import occlusion_dense
+
+                shadow_mask = occlusion_dense(
+                    accel_sg, shadow_origin, l,
+                    jax.lax.stop_gradient(hit.hit_mask),
+                    height=frame_hw[0], width=frame_hw[1],
+                    tile_px=tc.dense_tile_px,
+                    round_k=tc.dense_round_clusters,
+                    tiles_per_chunk=tc.dense_tiles_per_chunk,
+                    cluster_chunk=tc.dense_cluster_chunk, trace_cfg=tc,
+                )
+            else:
+                from ..trace.dense import any_hit_clusters_rays
+
+                shadow_mask = any_hit_clusters_rays(
+                    accel_sg, shadow_origin, shadow_dir,
+                    jnp.full(dirs.shape[:1], FLT_MAX), tc,
+                )
         else:
             from ..trace.traverse import any_hit_bvh
 
             shadow_mask = any_hit_bvh(
-                jax.tree_util.tree_map(jax.lax.stop_gradient, accel),
+                accel_sg,
                 sg.positions, sg.faces, shadow_origin, shadow_dir,
                 jnp.full(dirs.shape[:1], FLT_MAX), config.bvh, config.trace,
             )
@@ -144,6 +170,137 @@ def render_rgb(
     return shade_lambert_rgb(
         scene, hit, origin, dirs, light_dir=light_dir, shadow_mask=shadow_mask
     )
+
+
+# ---------------------------------------------------------------------------
+# Formal custom-VJP wrapper.
+#
+# ``render_rgb`` already has the right gradient STRUCTURE (stop_gradient on
+# the combinatorial traversal, differentiable recompute of the continuous
+# residuals); ``render_rgb_vjp`` makes that contract explicit as a
+# ``jax.custom_vjp``: the backward pass NEVER sees the acceleration
+# structure or the traversal — it differentiates only shade(recompute(ids)).
+#
+# SILHOUETTE LIMITATION (explicit contract, tested in
+# `tests/test_diff.py::test_silhouette_gradients_disagree_with_fd`):
+# gradients are exact for INTERIOR pixels only.  Pixel *coverage* is a
+# step function of the geometry — when a parameter perturbation moves a
+# silhouette edge across a pixel center, the true derivative contains a
+# Dirac term these VJPs do not model (edge-sampling would be required).
+# Finite differences therefore DISAGREE with this gradient at silhouette
+# pixels, by design; compare only where the hit mask is locally stable.
+# ---------------------------------------------------------------------------
+
+
+def _render_fixed_ids(scene, initial_rays, eye, orient, face_ids, shadow_mask,
+                      config, shading, light_dir):
+    """The differentiable part of the render, for FIXED combinatorics."""
+    from ..trace.shade import shade_lambert_rgb, shade_normal_rgb
+
+    dirs = rotate_rays(initial_rays, orient)
+    origin = jnp.broadcast_to(eye[None, :], dirs.shape)
+    hit = recompute_hit(scene, face_ids, origin, dirs)
+    if shading == "normal":
+        return shade_normal_rgb(scene, hit, background=(0.0, 1.0, 0.0))
+    return shade_lambert_rgb(scene, hit, origin, dirs, light_dir=light_dir,
+                             shadow_mask=shadow_mask)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def render_rgb_vjp(scene, accel, initial_rays, eye, orient, config,
+                   shading="lambert", with_shadows=False,
+                   light_dir=(0.4, 0.8, -0.45), frame_hw=None):
+    """``render_rgb`` with the stop-grad/recompute structure formalized as a
+    ``jax.custom_vjp`` (numerically identical forward AND backward)."""
+    return render_rgb(scene, accel, initial_rays, eye, orient, config,
+                      shading=shading, with_shadows=with_shadows,
+                      light_dir=light_dir, frame_hw=frame_hw)
+
+
+def _render_vjp_fwd(scene, accel, initial_rays, eye, orient, config,
+                    shading, with_shadows, light_dir, frame_hw):
+    out = render_rgb(scene, accel, initial_rays, eye, orient, config,
+                     shading=shading, with_shadows=with_shadows,
+                     light_dir=light_dir, frame_hw=frame_hw)
+    # Recover the combinatorics for the backward pass (cheap re-trace under
+    # stop_grad; XLA CSEs it with the forward's own traversal).
+    dirs = rotate_rays(initial_rays, orient)
+    origin = jnp.broadcast_to(eye[None, :], dirs.shape)
+    face_ids = hit_ids_nondiff(scene, accel, origin, dirs, config,
+                               frame_hw=frame_hw, common_origin=eye)
+    shadow_mask = None
+    if with_shadows:
+        # Reproduce the forward's discrete occlusion mask from the output
+        # structure is not possible in general; recompute it nondiff.
+        hit = recompute_hit(_stop_grad_scene(scene), face_ids,
+                            jax.lax.stop_gradient(origin),
+                            jax.lax.stop_gradient(dirs))
+        shadow_mask = _occlusion_nondiff(scene, accel, hit, origin, dirs,
+                                         config, light_dir, frame_hw)
+    residual = (scene, accel, initial_rays, eye, orient, face_ids, shadow_mask)
+    return out, residual
+
+
+def _render_vjp_bwd(config, shading, with_shadows, light_dir, frame_hw,
+                    residual, g):
+    scene, accel, initial_rays, eye, orient, face_ids, shadow_mask = residual
+    _, vjp = jax.vjp(
+        lambda sc, rays, e, o: _render_fixed_ids(
+            sc, rays, e, o, face_ids, shadow_mask, config, shading, light_dir
+        ),
+        scene, initial_rays, eye, orient,
+    )
+    d_scene, d_rays, d_eye, d_orient = vjp(g)
+    d_accel = jax.tree_util.tree_map(jnp.zeros_like, accel)
+    return d_scene, d_accel, d_rays, d_eye, d_orient
+
+
+def _occlusion_nondiff(scene, accel, hit, origin, dirs, config, light_dir,
+                       frame_hw):
+    """The forward pass's discrete shadow mask, gradients severed."""
+    l = jnp.asarray(light_dir, jnp.float32)
+    l = l / jnp.linalg.norm(l)
+    sg = _stop_grad_scene(scene)
+    accel_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, accel)
+    t_eps = config.trace.t_epsilon
+    p = origin + dirs * hit.t[..., None]
+    p = jnp.where(hit.hit_mask[..., None], p, origin)
+    shadow_origin = jax.lax.stop_gradient(p) + l * (10 * t_eps)
+    shadow_dir = jnp.broadcast_to(l, dirs.shape)
+    if config.accel == AccelKind.BRUTE or accel is None:
+        from ..trace.bruteforce import any_hit_brute
+
+        mask = any_hit_brute(sg.positions, sg.faces, shadow_origin, shadow_dir,
+                             jnp.full(dirs.shape[:1], FLT_MAX), config.trace)
+    elif config.accel == AccelKind.CLUSTER:
+        tc = config.trace
+        if (frame_hw is not None and frame_hw[0] % tc.dense_tile_px == 0
+                and frame_hw[1] % tc.dense_tile_px == 0):
+            from ..trace.dense import occlusion_dense
+
+            mask = occlusion_dense(
+                accel_sg, shadow_origin, l,
+                jax.lax.stop_gradient(hit.hit_mask),
+                height=frame_hw[0], width=frame_hw[1],
+                tile_px=tc.dense_tile_px, round_k=tc.dense_round_clusters,
+                tiles_per_chunk=tc.dense_tiles_per_chunk,
+                cluster_chunk=tc.dense_cluster_chunk, trace_cfg=tc,
+            )
+        else:
+            from ..trace.dense import any_hit_clusters_rays
+
+            mask = any_hit_clusters_rays(accel_sg, shadow_origin, shadow_dir,
+                                         jnp.full(dirs.shape[:1], FLT_MAX), tc)
+    else:
+        from ..trace.traverse import any_hit_bvh
+
+        mask = any_hit_bvh(accel_sg, sg.positions, sg.faces, shadow_origin,
+                           shadow_dir, jnp.full(dirs.shape[:1], FLT_MAX),
+                           config.bvh, config.trace)
+    return mask & jax.lax.stop_gradient(hit.hit_mask)
+
+
+render_rgb_vjp.defvjp(_render_vjp_fwd, _render_vjp_bwd)
 
 
 def l2_image_loss(

@@ -51,10 +51,34 @@ def pad_rays_for_mesh(rays, mesh: Mesh):
     return rays, r
 
 
-def initialize_distributed() -> None:
-    """Multi-host bring-up (`jax.distributed.initialize`).  No-op when the
-    process is already initialized or single-host env vars are absent."""
-    try:
-        jax.distributed.initialize()
-    except (RuntimeError, ValueError):
-        pass  # single-host / already initialized
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host bring-up (`jax.distributed.initialize`).
+
+    Returns True when a multi-process runtime came up.  A deliberate no-op
+    (returning False) ONLY when no multi-process launch is configured —
+    neither explicit arguments nor the standard env (JAX_COORDINATOR_ADDRESS
+    / cloud TPU metadata) are present.  A CONFIGURED launch that fails to
+    initialize raises: silently falling back to single-process after a real
+    multi-host failure would corrupt results (each host would render the
+    full frame)."""
+    import os
+
+    configured = (
+        coordinator_address is not None
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    )
+    if not configured:
+        return False
+    if jax._src.distributed.global_state.client is not None:  # already up
+        return True
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True

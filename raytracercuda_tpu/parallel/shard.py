@@ -34,7 +34,7 @@ def _spec_like(tree, spec):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "mesh", "shading", "with_shadows"),
+    static_argnames=("config", "mesh", "shading", "with_shadows", "frame_hw"),
 )
 def render_sharded(
     scene: SceneData,
@@ -46,16 +46,27 @@ def render_sharded(
     mesh: Mesh,
     shading: str = "lambert",
     with_shadows: bool = False,
+    frame_hw: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Forward render with rays sharded over the mesh -> ``[R,3]`` RGB.
 
     ``initial_rays.shape[0]`` must divide by the mesh size (use
-    ``parallel.mesh.pad_rays_for_mesh``)."""
+    ``parallel.mesh.pad_rays_for_mesh``).  When ``frame_hw`` is given,
+    rays shard as horizontal PIXEL BANDS of the frame — each device's
+    shard is itself a (H/n, W) sub-frame, so the tile-based fast paths
+    (dense cluster trace / beam traversal) run per shard instead of
+    falling back to per-ray traversal."""
+    local_hw = None
+    if frame_hw is not None:
+        h, w = frame_hw
+        n = mesh.devices.size
+        assert h % n == 0, f"frame height {h} not divisible by {n} devices"
+        local_hw = (h // n, w)
 
     def local_render(scene, accel, rays_shard, eye, orient):
         return render_rgb(
             scene, accel, rays_shard, eye, orient, config,
-            shading=shading, with_shadows=with_shadows,
+            shading=shading, with_shadows=with_shadows, frame_hw=local_hw,
         )
 
     return jax.shard_map(
@@ -77,7 +88,8 @@ def render_sharded(
 
 
 def make_train_step(config: RenderConfig, mesh: Mesh, optimizer=None,
-                    shading: str = "lambert", with_shadows: bool = False):
+                    shading: str = "lambert", with_shadows: bool = False,
+                    frame_hw: tuple[int, int] | None = None):
     """Build a jitted distributed training step for inverse rendering.
 
     The returned ``step(params, opt_state, scene, accel, rays, eye,
@@ -105,10 +117,16 @@ def make_train_step(config: RenderConfig, mesh: Mesh, optimizer=None,
             rep["attrs"] = {**scene.attrs, 1: params["normals"]}
         return scene._replace(**rep)
 
+    local_hw = None
+    if frame_hw is not None:
+        h, w = frame_hw
+        assert h % mesh.devices.size == 0
+        local_hw = (h // mesh.devices.size, w)
+
     def local_loss(params, scene, accel, rays_shard, eye, orient, target_shard):
         img = render_rgb(
             graft(scene, params), accel, rays_shard, eye, orient, config,
-            shading=shading, with_shadows=with_shadows,
+            shading=shading, with_shadows=with_shadows, frame_hw=local_hw,
         )
         # Mean over ALL rays: scale local sum by the global count.
         n_total = rays_shard.shape[0] * mesh.devices.size

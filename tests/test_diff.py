@@ -194,3 +194,91 @@ def test_shadow_darkens_occluded_region():
                                  with_shadows=True, light_dir=light))
     assert (shad <= lit + 1e-6).all()
     assert (shad < lit - 1e-3).any(), "no pixel was shadow-darkened"
+
+
+# ---------------------------------------------------------------------------
+# Formal custom-VJP wrapper + the explicit silhouette contract.
+# ---------------------------------------------------------------------------
+
+def test_custom_vjp_matches_autodiff_gradients():
+    from raytracercuda_tpu.diff.render_grad import render_rgb_vjp
+
+    scene = tilted_tri_scene()
+
+    def loss_auto(pos, alb):
+        img = render_rgb(scene._replace(positions=pos, albedo=alb), None,
+                         RAYS, EYE, ORIENT, BRUTE)
+        return jnp.sum((img * MASK) ** 2)
+
+    def loss_vjp(pos, alb):
+        img = render_rgb_vjp(scene._replace(positions=pos, albedo=alb), None,
+                             RAYS, EYE, ORIENT, BRUTE)
+        return jnp.sum((img * MASK) ** 2)
+
+    args = (scene.positions, scene.albedo)
+    f0, g0 = jax.value_and_grad(loss_auto, argnums=(0, 1))(*args)
+    f1, g1 = jax.value_and_grad(loss_vjp, argnums=(0, 1))(*args)
+    np.testing.assert_allclose(float(f0), float(f1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0[0]), np.asarray(g1[0]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_custom_vjp_with_shadows_and_cluster_backend():
+    from raytracercuda_tpu.accel.clusters import build_clusters
+    from raytracercuda_tpu.diff.render_grad import render_rgb_vjp
+
+    config = RenderConfig(accel=AccelKind.CLUSTER)
+    scene = tilted_tri_scene()
+    cs = build_clusters(scene.positions, scene.faces, config.cluster)
+
+    def loss(pos):
+        img = render_rgb_vjp(scene._replace(positions=pos), cs, RAYS, EYE,
+                             ORIENT, config, "lambert", True)
+        return jnp.sum((img * MASK) ** 2)
+
+    val, grads = jax.value_and_grad(loss)(scene.positions)
+    assert np.isfinite(float(val))
+    g = np.asarray(grads)
+    assert np.isfinite(g).all() and (g != 0).any()
+
+
+def test_silhouette_gradients_disagree_with_fd():
+    """The documented contract: coverage is a step function, so finite
+    differences SEE the silhouette jump while the analytic gradient (which
+    models only interior shading) does not.  Uses a flat-shaded triangle:
+    interior pixel values are translation-invariant, so the entire FD
+    signal at a silhouette-crossing perturbation is the unmodeled Dirac
+    term."""
+    scene = tilted_tri_scene()
+    # Flat normals: shading constant over the face -> interior-only
+    # analytic gradient of a translation is ~0.
+    n = np.array([[0.0, 0.0, -1.0]] * 3, np.float32)
+    scene = scene._replace(attrs={1: jnp.asarray(n)},
+                           positions=scene.positions)
+
+    def full_loss(dx):
+        sc = scene._replace(positions=scene.positions + jnp.array([1.0, 0, 0]) * dx)
+        img = render_rgb(sc, None, RAYS, EYE, ORIENT, BRUTE)
+        return jnp.sum(img ** 2)  # NO interior mask: silhouette included
+
+    # Pick a perturbation large enough to move the silhouette across at
+    # least one pixel center (coverage must actually change).
+    def coverage(dx):
+        sc = scene._replace(positions=scene.positions + jnp.array([1.0, 0, 0]) * dx)
+        img = render_rgb(sc, None, RAYS, EYE, ORIENT, BRUTE)
+        return int((np.asarray(img)[:, 1] < 0.5).sum())  # non-background px
+
+    eps = None
+    for cand in (0.05, 0.1, 0.2, 0.35, 0.5):
+        if coverage(cand) != coverage(-cand):
+            eps = cand
+            break
+    assert eps is not None, "no coverage flip found; fixture broken"
+    fd = (float(full_loss(eps)) - float(full_loss(-eps))) / (2 * eps)
+    analytic = float(jax.grad(full_loss)(0.0))
+    # Coverage changed across the perturbation -> FD carries a large jump
+    # term the analytic gradient must NOT contain.
+    assert abs(fd) > 1.0, f"fixture too weak: fd={fd}"
+    assert abs(analytic) < 0.05 * abs(fd), (analytic, fd)

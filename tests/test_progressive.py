@@ -113,3 +113,36 @@ def test_progressive_gradients_flow():
 
     g = np.asarray(jax.grad(loss)(scene.positions))
     assert np.isfinite(g).all() and (np.abs(g) > 0).any()
+
+
+def test_progressive_bit_identical_across_mesh_sizes():
+    """SURVEY §7 hard-part #5: the accumulated frame must be BIT-identical
+    whether each sample frame renders on 1 device or sharded over 8 —
+    fixed-order Halton accumulation plus pixel-band sharding guarantee it."""
+    import jax
+    from raytracercuda_tpu.parallel.mesh import make_ray_mesh
+    from raytracercuda_tpu.parallel.shard import render_sharded
+    from raytracercuda_tpu.trace.progressive import (
+        halton, init_progressive, jittered_ray_grid)
+
+    scene = tri_scene()
+    side = 16
+    config = BRUTE
+
+    def accumulate(mesh_devices):
+        mesh = make_ray_mesh(mesh_devices)
+        state = init_progressive(side * side)
+        for s in range(3):
+            jx = halton(jnp.int32(s + 1), 2)
+            jy = halton(jnp.int32(s + 1), 3)
+            rays = jittered_ray_grid(side, side, jx, jy)
+            rgb = render_sharded(scene, None, rays, jnp.zeros(3), jnp.eye(3),
+                                 config, mesh, frame_hw=(side, side))
+            state = state._replace(accum=state.accum + rgb,
+                                   count=state.count + 1)
+        return np.asarray(state.image)
+
+    a = accumulate(1)
+    b = accumulate(8)
+    np.testing.assert_array_equal(a, b)
+    assert (a != a[0:1]).any(), "fixture rendered a constant frame"
