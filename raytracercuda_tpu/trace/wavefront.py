@@ -104,29 +104,33 @@ def trace_wavefront(
         qnode = jnp.where(q_valid, queue, 0)
         lfirst = bvh.leaf_first[qnode]  # [R,Q]
         lcount = bvh.leaf_count[qnode]
-        for k in range(cfg.max_leaf_faces):
-            in_range = q_valid & (k < lcount)
-            slot = jnp.clip(lfirst + k, 0, num_faces - 1)
-            fid = bvh.face_order[slot]  # [R,Q]
-            frow = faces[fid]  # [R,Q,4]
-            t, u, v = tri_intersect(
-                origin[:, None, :],
-                direction[:, None, :],
-                positions[frow[..., 0]],
-                positions[frow[..., 1]],
-                positions[frow[..., 2]],
-            )
-            if trace_cfg.clip_backward_hits:
-                t = jnp.where(t < t_eps, FLT_MAX, t)
-            t = jnp.where(in_range, t, FLT_MAX)
-            j = jnp.argmin(t, axis=1)
-            rows = jnp.arange(num_rays)
-            ct, cu, cv, cf = t[rows, j], u[rows, j], v[rows, j], fid[rows, j]
-            closer = ct < bt
-            bt = jnp.where(closer, ct, bt)
-            bu = jnp.where(closer, cu, bu)
-            bv = jnp.where(closer, cv, bv)
-            bf = jnp.where(closer, cf, bf)
+        # All queued (leaf, offset) pairs as ONE [R, Q*K] batch — traced
+        # once, not unrolled K times.
+        k_ids = jnp.arange(cfg.max_leaf_faces, dtype=jnp.int32)
+        in_range = q_valid[:, :, None] & (k_ids[None, None, :] < lcount[:, :, None])
+        slot = jnp.clip(lfirst[:, :, None] + k_ids[None, None, :], 0,
+                        num_faces - 1)
+        qk = q_cap * cfg.max_leaf_faces
+        fid = bvh.face_order[slot.reshape(num_rays, qk)]  # [R,Q*K]
+        frow = faces[fid]  # [R,Q*K,4]
+        t, u, v = tri_intersect(
+            origin[:, None, :],
+            direction[:, None, :],
+            positions[frow[..., 0]],
+            positions[frow[..., 1]],
+            positions[frow[..., 2]],
+        )
+        if trace_cfg.clip_backward_hits:
+            t = jnp.where(t < t_eps, FLT_MAX, t)
+        t = jnp.where(in_range.reshape(num_rays, qk), t, FLT_MAX)
+        j = jnp.argmin(t, axis=1)
+        rows = jnp.arange(num_rays)
+        ct, cu, cv, cf = t[rows, j], u[rows, j], v[rows, j], fid[rows, j]
+        closer = ct < bt
+        bt = jnp.where(closer, ct, bt)
+        bu = jnp.where(closer, cu, bu)
+        bv = jnp.where(closer, cv, bv)
+        bf = jnp.where(closer, cf, bf)
 
         return rounds + 1, cur, bt, bu, bv, bf
 

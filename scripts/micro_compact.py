@@ -80,9 +80,22 @@ def timeit(name, f, *a, iters=20):
     return out
 
 
+def make_searchsorted(width):
+    @jax.jit
+    def via_searchsorted(survive):
+        cum = jnp.cumsum(survive.astype(jnp.int32), axis=1)
+        ranks = 1 + jnp.arange(width, dtype=jnp.int32)
+        return jax.vmap(
+            lambda c: jnp.searchsorted(c, ranks, side="left")
+        )(cum).astype(jnp.int32)
+    return via_searchsorted
+
+
 ls = timeit("sort", via_sort, survive)
 lsc = timeit("scatter", via_scatter, survive)
 lt = timeit("topk", via_topk, survive)
+timeit("searchsorted W=512", make_searchsorted(512), survive)
+timeit("searchsorted W=64", make_searchsorted(64), survive)
 print("sort==scatter:", bool(jnp.all(ls == lsc)))
 timeit("gather[T,K,192]", via_gather, ls)
 

@@ -51,7 +51,9 @@ def timeit(name, f, *a, iters=10, **kw):
     return out
 
 
-kw = dict(tile_px=TP, round_k=K, tiles_per_chunk=TPC, trace_cfg=config.trace)
+kw = dict(tile_px=TP, round_k=K, tiles_per_chunk=TPC,
+          cluster_chunk=config.trace.dense_cluster_chunk,
+          trace_cfg=config.trace)
 
 timeit("build_clusters", build_clusters, data.positions, data.faces, config.cluster)
 
@@ -75,3 +77,21 @@ occ = timeit("occlusion_dense", occlusion_dense, cs, shadow_origin, light, hm, H
 shade = jax.jit(lambda d, h, o, di, sm: pack_shaded(shade_lambert_rgb(d, h, o, di, shadow_mask=sm)))
 timeit("shade+pack", shade, data, hit, origin, dirs, occ & hm)
 print("hit frac", float(np.asarray(hm).mean()), "shadow frac", float(np.asarray(occ).mean()))
+
+if os.environ.get("PROFILE_SHADE"):
+    from raytracercuda_tpu.models.mesh import VERTEX_DATA_NORMAL
+    from raytracercuda_tpu.ops.interpolate import face_interpolate
+    from raytracercuda_tpu.trace.shade import material_albedo
+
+    interp = jax.jit(lambda d, h: face_interpolate(
+        d.attrs[VERTEX_DATA_NORMAL], d.faces, h.face, h.u, h.v))
+    timeit("  interp normal", interp, data, hit)
+    timeit("  material_albedo", jax.jit(material_albedo), data, hit)
+    rgbv = jnp.zeros((W * H, 3), jnp.float32)
+    timeit("  pack only", jax.jit(pack_shaded), rgbv)
+    # Flat face-table alternative: one [F,9] build then one row gather.
+    tbl = jax.jit(lambda d: jnp.concatenate(
+        [d.attrs[VERTEX_DATA_NORMAL][d.faces[:, i]] for i in range(3)], axis=1))
+    ftab = timeit("  face-table build", tbl, data)
+    timeit("  face-table gather", jax.jit(lambda t, f: t[jnp.maximum(f, 0)]),
+           ftab, hit.face)

@@ -107,3 +107,46 @@ def test_grid_miss_background():
     direction = jnp.broadcast_to(jnp.asarray(np.array([1.0, 0.0, 0.0], np.float32)), (4, 3))
     hit = trace_grid(grid, positions, faces, origin, direction)
     assert (np.asarray(hit.face) == -1).all()
+
+
+def test_grid_collision_surfaces_far_face():
+    """Characterizes the inherited hash-collision approximation
+    (`Hash.cu:280` + `grid_march.py:10-13`): Fletcher16(255) == 0 ==
+    Fletcher16(0), so cell (0,0,255) shares bucket 0 with cell (0,0,0).
+    A ray standing in cell (0,0,0) therefore tests the colliding far
+    cell's faces, and a GENUINE intersection there stops the walk — the
+    grid reports a real-but-not-closest hit where brute force finds the
+    nearer face it never walked to."""
+    cfg = GridConfig()
+    res = cfg.cell_res  # 0.03
+    assert scalar_fletcher16(255) == 0 and scalar_fletcher16(0) == 0
+
+    def tri_at(z):
+        return np.array(
+            [[0.002, 0.002, z], [0.028, 0.002, z], [0.015, 0.028, z]],
+            np.float32,
+        )
+
+    near_z = 100 * res + 0.0015   # cell (0,0,100): bucket != 0
+    far_z = 255 * res + 0.0015    # cell (0,0,255): collides with (0,0,0)
+    positions = jnp.asarray(np.concatenate([tri_at(near_z), tri_at(far_z)]))
+    faces = jnp.asarray(
+        np.array([[0, 1, 2, 0], [3, 4, 5, 0]], np.int32))
+    grid = build_grid(positions, faces, cfg)
+
+    origin = jnp.asarray(np.array([[0.015, 0.012, 0.0005]], np.float32))
+    direction = jnp.asarray(np.array([[0.0, 0.0, 1.0]], np.float32))
+    got = trace_grid(grid, positions, faces, origin, direction, cfg)
+    want = trace_brute(positions, faces, origin, direction)
+
+    # Brute force finds the closest face (the near one).
+    assert int(np.asarray(want.face)[0]) == 0
+    np.testing.assert_allclose(np.asarray(want.t)[0], near_z - 0.0005,
+                               rtol=1e-5)
+    # The grid reports the FAR face, surfaced by the bucket collision in
+    # the very first cell.
+    assert int(np.asarray(got.face)[0]) == 1
+    # ... but the hit is genuine geometry: t is the oracle's t for that
+    # face, never a phantom intersection.
+    np.testing.assert_allclose(np.asarray(got.t)[0], far_z - 0.0005,
+                               rtol=1e-5)
