@@ -147,12 +147,15 @@ class OriginConsts(NamedTuple):
         v*det =   D . (tvec x e1)      (qv)
         t*det =   tvec . P             (st, per-triangle scalar)
 
-    so one ``[R,3] @ [3, 3L]`` matmul per (tile, cluster) yields all three
-    per-ray quantities at once.  ``mat[c]`` packs columns
-    ``[-P | qu | qv]`` interleaved per triangle: column ``3j+k``.
+    so each quantity is one ``[R,3] @ [3, L·K]`` matmul per tile round.
+    Each matrix keeps the natural ``[C, L, 3]`` layout — building them is
+    pure elementwise work (no transpose/stack materialization), and the
+    sweep's gathered rows feed dot_general's contraction directly.
     """
 
-    mat: jnp.ndarray  # [C, 3, 3L] float32
+    mp: jnp.ndarray  # [C, L, 3] float32: -P (det = D . -P)
+    qu: jnp.ndarray  # [C, L, 3] float32: e2 x tvec (u*det = D . qu)
+    qv: jnp.ndarray  # [C, L, 3] float32: tvec x e1 (v*det = D . qv)
     st: jnp.ndarray  # [C, L] float32
 
 
@@ -166,12 +169,14 @@ class DirectionConsts(NamedTuple):
         v*det =  O . mvec - v0 . mvec,  mvec = e1 x D
         t*det =  O . P    - v0 . P
 
-    so the per-ray part is again one ``[R,3] @ [3, 3L]`` matmul.
-    ``mat[c]`` packs ``[pvec | mvec | P]`` columns; ``off``/``det`` carry
-    the per-triangle scalars.
+    so the per-ray part is again per-quantity ``[R,3] @ [3, L·K]``
+    matmuls over the natural ``[C, L, 3]`` layouts.  ``off``/``det``
+    carry the per-triangle scalars.
     """
 
-    mat: jnp.ndarray  # [C, 3, 3L] float32
+    pvec: jnp.ndarray  # [C, L, 3] float32: D x e2
+    mvec: jnp.ndarray  # [C, L, 3] float32: e1 x D
+    pp: jnp.ndarray  # [C, L, 3] float32: P = e1 x e2
     off: jnp.ndarray  # [C, L, 3] float32: v0.pvec | v0.mvec | v0.P
     det: jnp.ndarray  # [C, L] float32
 
@@ -185,11 +190,7 @@ def origin_consts(cs: ClusterSet, eye: jnp.ndarray) -> OriginConsts:
     qu = jnp.cross(e2, tvec)
     qv = jnp.cross(tvec, e1)
     st = jnp.sum(tvec * cs.normal, axis=-1)  # [C, L]
-    # [C, L, 3, 3] -> [C, 3, 3L] with column 3j+k = vector k of triangle j.
-    cols = jnp.stack([-cs.normal, qu, qv], axis=2)  # [C, L, 3(which), 3(xyz)]
-    C, L = st.shape
-    mat = cols.transpose(0, 3, 1, 2).reshape(C, 3, 3 * L)
-    return OriginConsts(mat=mat, st=st)
+    return OriginConsts(mp=-cs.normal, qu=qu, qv=qv, st=st)
 
 
 def direction_consts(cs: ClusterSet, d: jnp.ndarray) -> DirectionConsts:
@@ -208,7 +209,5 @@ def direction_consts(cs: ClusterSet, d: jnp.ndarray) -> DirectionConsts:
         ],
         axis=-1,
     )  # [C, L, 3]
-    cols = jnp.stack([pvec, mvec, cs.normal], axis=2)  # [C, L, 3, 3]
-    C, L = det.shape
-    mat = cols.transpose(0, 3, 1, 2).reshape(C, 3, 3 * L)
-    return DirectionConsts(mat=mat, off=off, det=det)
+    return DirectionConsts(pvec=pvec, mvec=mvec, pp=cs.normal, off=off,
+                           det=det)

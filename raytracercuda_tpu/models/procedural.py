@@ -82,3 +82,68 @@ def quad_mesh(z: float = 1.56) -> Mesh:
     assert mesh.set_vertex_data(verts, 4, 3, VERTEX_DATA_POSITION) == 0
     assert mesh.set_vertex_data(normals, 4, 3, VERTEX_DATA_NORMAL) == 0
     return mesh
+
+
+def bumpy_sphere_mesh(
+    num_faces: int,
+    radius: float = 1.0,
+    center=(0.0, 0.0, 3.0),
+    bump: float = 0.15,
+    seed: int = 0,
+) -> Mesh:
+    """Displaced lat-long sphere hitting an ARBITRARY face count.
+
+    Stand-in for Content meshes the reference repo references but does not
+    ship (armadillo ~346k faces, tyra ~100k — `Program.cpp:142-145`,
+    `.gitignore:20-28`): matches their triangle counts with a non-convex,
+    bumpy surface so traversal-depth behavior is realistic.
+    """
+    # 2*rows*cols triangles; pick rows/cols near-square then trim faces.
+    rows = max(2, int(np.sqrt(num_faces / 4)))
+    cols = max(3, -(-num_faces // (2 * rows)))
+    rng = np.random.default_rng(seed)
+    th = np.linspace(1e-3, np.pi - 1e-3, rows + 1)
+    ph = np.linspace(0.0, 2 * np.pi, cols + 1)[:-1]
+    tg, pg = np.meshgrid(th, ph, indexing="ij")  # [rows+1, cols]
+    # Smooth low-frequency displacement field (sum of random harmonics).
+    r = np.full(tg.shape, radius)
+    for _ in range(6):
+        a, b = rng.integers(1, 5, 2)
+        phase = rng.uniform(0, 2 * np.pi, 2)
+        r += bump * radius / 6 * np.cos(a * tg + phase[0]) * np.sin(b * pg + phase[1])
+    x = r * np.sin(tg) * np.cos(pg)
+    y = r * np.cos(tg)
+    z = r * np.sin(tg) * np.sin(pg)
+    pos = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    pos += np.asarray(center, np.float32)
+
+    def vid(i, j):
+        return i * cols + (j % cols)
+
+    quads = []
+    for i in range(rows):
+        for j in range(cols):
+            a, b = vid(i, j), vid(i, j + 1)
+            c, d = vid(i + 1, j), vid(i + 1, j + 1)
+            quads.append([a, b, c])
+            quads.append([b, d, c])
+    faces = np.asarray(quads, np.int64)[:num_faces]
+    # Area-weighted smooth normals.
+    fn = np.cross(pos[faces[:, 1]] - pos[faces[:, 0]],
+                  pos[faces[:, 2]] - pos[faces[:, 0]])
+    normals = np.zeros_like(pos)
+    for k in range(3):
+        np.add.at(normals, faces[:, k], fn)
+    nrm = np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = (normals / np.maximum(nrm, 1e-20)).astype(np.float32)
+    u = (pg / (2 * np.pi)).reshape(-1)
+    v = (tg / np.pi).reshape(-1)
+    uvs = np.stack([u, v], axis=1).astype(np.float32)
+
+    mesh = Mesh.create()
+    nv = pos.shape[0]
+    assert mesh.set_indices(faces.reshape(-1).astype(np.uint32), faces.size) == 0
+    assert mesh.set_vertex_data(pos, nv, 3, VERTEX_DATA_POSITION) == 0
+    assert mesh.set_vertex_data(normals, nv, 3, VERTEX_DATA_NORMAL) == 0
+    assert mesh.set_vertex_data(uvs, nv, 2, VERTEX_DATA_UV1) == 0
+    return mesh

@@ -125,11 +125,20 @@ def _cull_frustum(planes: jnp.ndarray, eye: jnp.ndarray,
 
 
 def _compact(survive: jnp.ndarray, round_k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """[T,C] mask -> (sorted survivor ids padded to a K multiple, counts)."""
+    """[T,C] mask -> (sorted survivor ids padded to a K multiple, counts).
+
+    The sort runs on int16 keys when cluster ids fit (halves the sorted
+    bytes; chunked callers keep local ids < 32k)."""
     c = survive.shape[1]
-    cids = jnp.arange(c, dtype=jnp.int32)
-    key = jnp.where(survive, cids[None, :], _CULLED)
-    lists = jnp.sort(key, axis=1)
+    if c < 32000:
+        cids = jnp.arange(c, dtype=jnp.int16)
+        key = jnp.where(survive, cids[None, :], jnp.int16(32000))
+        lists = jnp.sort(key, axis=1).astype(jnp.int32)
+        lists = jnp.where(lists >= 32000, _CULLED, lists)
+    else:
+        cids = jnp.arange(c, dtype=jnp.int32)
+        key = jnp.where(survive, cids[None, :], _CULLED)
+        lists = jnp.sort(key, axis=1)
     pad = -(-c // round_k) * round_k - c
     if pad:
         lists = jnp.pad(lists, ((0, 0), (0, pad)), constant_values=_CULLED)
@@ -180,13 +189,17 @@ def _sweep_primary(d_tiles, lists, counts, oc: OriginConsts, *,
             window = jax.lax.dynamic_slice(lists_c, (0, r * K), (tc, K))
             valid = window < _CULLED  # [tc,K]
             safe = jnp.minimum(window, c_local - 1)
-            mat = oc.mat[safe]  # [tc,K,3,3L]
+            # Per-quantity [tc,K*L,3] gathers in natural layout; each
+            # einsum contracts the trailing xyz axis — no transposes.
+            def quant(m):
+                m = m[safe].reshape(tc, K * L, 3)
+                return jnp.einsum("trx,tnx->trn", d_c, m,
+                                  preferred_element_type=jnp.float32)
+
             st = oc.st[safe].reshape(tc, K * L)  # [tc,K*L]
-            mat = mat.transpose(0, 2, 1, 3).reshape(tc, 3, K * 3 * L)
-            g = jnp.einsum("trk,tkc->trc", d_c, mat,
-                           preferred_element_type=jnp.float32)
-            g = g.reshape(tc, -1, K * L, 3)
-            det, ud, vd = g[..., 0], g[..., 1], g[..., 2]
+            det = quant(oc.mp)
+            ud = quant(oc.qu)
+            vd = quant(oc.qv)
             s = jnp.sign(det)
             t = st[:, None, :] / det
             ok = (
@@ -232,15 +245,17 @@ def _sweep_occlusion(o_tiles, a_tiles, lists, counts, dc: DirectionConsts, *,
             window = jax.lax.dynamic_slice(lists_c, (0, r * K), (tc, K))
             valid = window < _CULLED
             safe = jnp.minimum(window, c_local - 1)
-            mat = dc.mat[safe].transpose(0, 2, 1, 3).reshape(tc, 3, K * 3 * L)
+
+            def quant(m):
+                m = m[safe].reshape(tc, K * L, 3)
+                return jnp.einsum("trx,tnx->trn", o_c, m,
+                                  preferred_element_type=jnp.float32)
+
             off = dc.off[safe].reshape(tc, K * L, 3)
             det = dc.det[safe].reshape(tc, 1, K * L)
-            g = jnp.einsum("trk,tkc->trc", o_c, mat,
-                           preferred_element_type=jnp.float32)
-            g = g.reshape(tc, -1, K * L, 3)
-            ud = g[..., 0] - off[:, None, :, 0]
-            vd = g[..., 1] - off[:, None, :, 1]
-            td = g[..., 2] - off[:, None, :, 2]
+            ud = quant(dc.pvec) - off[:, None, :, 0]
+            vd = quant(dc.mvec) - off[:, None, :, 1]
+            td = quant(dc.pp) - off[:, None, :, 2]
             s = jnp.sign(det)
             t = td / det
             ok = (
@@ -303,7 +318,7 @@ def trace_dense(
         c1 = min(C, c0 + cluster_chunk)
         survive = _cull_frustum(planes, eye, cs.cmin[c0:c1], cs.cmax[c0:c1])
         lists, counts = _compact(survive, round_k)
-        oc_chunk = OriginConsts(mat=oc.mat[c0:c1], st=oc.st[c0:c1])
+        oc_chunk = jax.tree_util.tree_map(lambda x: x[c0:c1], oc)
         # Chunks pay their DEEPEST tile's round count, so group tiles of
         # similar depth together: permute tiles by survivor count for the
         # sweep, un-permute its results (measured ~3x on sparse frames).
@@ -534,8 +549,7 @@ def occlusion_dense(
             & (cl_hi[None, :] >= ol_lo[:, None])
         )
         lists, counts = _compact(survive, round_k)
-        dc_chunk = DirectionConsts(mat=dc.mat[c0:c1], off=dc.off[c0:c1],
-                                   det=dc.det[c0:c1])
+        dc_chunk = jax.tree_util.tree_map(lambda x: x[c0:c1], dc)
         perm = jnp.argsort(counts)
         unperm = jnp.argsort(perm)
         occ_p = _sweep_occlusion(

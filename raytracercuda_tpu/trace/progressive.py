@@ -108,8 +108,12 @@ def progressive_step(
     jx = halton(sample + 1, 2)
     jy = halton(sample + 1, 3)
     rays = jittered_ray_grid(width, height, jx, jy, zoom=zoom)
+    # A jittered pinhole grid still shares one origin per tile, so the
+    # dense tile fast path applies (frame_hw routes to it when the frame
+    # divides the tile size).
     rgb = render_rgb(
         scene, accel, rays, eye, orient, config,
         shading=shading, with_shadows=with_shadows,
+        frame_hw=(height, width),
     )
     return ProgressiveState(accum=state.accum + rgb, count=state.count + 1)

@@ -13,6 +13,9 @@ normal, red channel ``|n.z|*255`` truncated, miss = ``255<<8``.
 
 from __future__ import annotations
 
+from typing import NamedTuple, Optional
+
+import jax
 import jax.numpy as jnp
 
 from ..models.mesh import VERTEX_DATA_NORMAL, VERTEX_DATA_UV1
@@ -95,6 +98,46 @@ def material_albedo(scene: SceneData, hit: Hit) -> jnp.ndarray:
     return albedo
 
 
+class FaceTables(NamedTuple):
+    """Per-face shading rows — the gather-once fast path for shading.
+
+    ``face_interpolate`` needs a two-level scattered gather per pixel
+    (face row, then 3 vertex attributes) plus the material-id chain;
+    this table folds all of it into ONE row per face so shading a pixel
+    is a single scattered fetch.  Built once per scene (static normals),
+    so it must NOT be used when differentiating through vertex
+    attributes — the diff path (`diff/render_grad.py`) keeps the
+    two-level gathers, which is what makes gradients flow to
+    ``scene.attrs``.
+
+    ``rows``: ``[F, 13(+6)]`` = n0|n1|n2 (9) | albedo (3) | tex_id (1)
+    | optionally uv0|uv1|uv2 (6).
+    """
+
+    rows: jnp.ndarray
+    has_uv: bool
+
+
+@jax.jit
+def _face_table_rows(scene: SceneData) -> jnp.ndarray:
+    f = scene.faces
+    n = scene.attrs[VERTEX_DATA_NORMAL]
+    cols = [n[f[:, 0]], n[f[:, 1]], n[f[:, 2]]]
+    mat = scene.mesh_material[f[:, 3]]
+    cols.append(scene.albedo[mat])
+    cols.append(scene.texture_id[mat].astype(jnp.float32)[:, None])
+    if VERTEX_DATA_UV1 in scene.attrs:
+        uv = scene.attrs[VERTEX_DATA_UV1]
+        cols += [uv[f[:, 0], :2], uv[f[:, 1], :2], uv[f[:, 2], :2]]
+    return jnp.concatenate(cols, axis=1)
+
+
+def build_face_tables(scene: SceneData) -> FaceTables:
+    """Precompute per-face shading rows (once per scene update)."""
+    return FaceTables(rows=_face_table_rows(scene),
+                      has_uv=VERTEX_DATA_UV1 in scene.attrs)
+
+
 def shade_lambert_rgb(
     scene: SceneData,
     hit: Hit,
@@ -104,9 +147,37 @@ def shade_lambert_rgb(
     shadow_mask: jnp.ndarray | None = None,
     ambient: float = 0.08,
     background=(0.0, 1.0, 0.0),
+    tables: Optional[FaceTables] = None,
 ) -> jnp.ndarray:
     """Lambert N·L shading with optional shadow attenuation (BASELINE
-    config #3: "Lambert shading + shadow rays")."""
+    config #3: "Lambert shading + shadow rays").
+
+    ``tables``: optional precomputed ``FaceTables`` — one scattered gather
+    per pixel instead of the generic attribute-interpolation chain.  Only
+    for non-differentiating callers (see ``FaceTables``)."""
+    if tables is not None:
+        row = tables.rows[jnp.maximum(hit.face, 0)]
+        w = 1.0 - (hit.u + hit.v)
+        n = (row[:, 0:3] * w[:, None] + row[:, 3:6] * hit.u[:, None]
+             + row[:, 6:9] * hit.v[:, None])
+        albedo = row[:, 9:12]
+        tex_id = row[:, 12].astype(jnp.int32)
+        if tables.has_uv:
+            uv = (row[:, 13:15] * w[:, None] + row[:, 15:17] * hit.u[:, None]
+                  + row[:, 17:19] * hit.v[:, None])
+            tex_rgb = sample_texture(scene.textures, tex_id, uv[:, 0], uv[:, 1])
+            albedo = jnp.where((tex_id >= 0)[:, None], albedo * tex_rgb, albedo)
+        n = normalize(n, eps=1e-30)
+        flip = jnp.sum(n * ray_dir, axis=-1) > 0.0
+        n = jnp.where(flip[..., None], -n, n)
+        l = normalize(jnp.asarray(light_dir, jnp.float32))
+        ndotl = jnp.maximum(jnp.sum(n * l, axis=-1), 0.0)
+        if shadow_mask is not None:
+            ndotl = jnp.where(shadow_mask, 0.0, ndotl)
+        rgb = albedo * (ambient + (1.0 - ambient) * ndotl)[..., None]
+        bg = jnp.asarray(background, jnp.float32)
+        return jnp.where(hit.hit_mask[..., None], rgb, bg)
+
     n = interpolate_slot(scene, hit, VERTEX_DATA_NORMAL)
     n = normalize(n, eps=1e-30)
     # Face the normal against the incoming ray.

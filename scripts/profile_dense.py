@@ -78,6 +78,28 @@ shade = jax.jit(lambda d, h, o, di, sm: pack_shaded(shade_lambert_rgb(d, h, o, d
 timeit("shade+pack", shade, data, hit, origin, dirs, occ & hm)
 print("hit frac", float(np.asarray(hm).mean()), "shadow frac", float(np.asarray(occ).mean()))
 
+if os.environ.get("PROFILE_L"):
+    # Phase cost vs cluster size: cull+sort shrink with C=F/L, sweep grows
+    # with survivor waste.  Clean numbers for picking L.
+    from raytracercuda_tpu.config import ClusterConfig
+    from raytracercuda_tpu.trace.dense import _compact
+
+    d_tiles = tile_pixels(dirs, H, W, TP)
+    planes = tile_frustum_planes(d_tiles, TP)
+    for Lsz in (int(s) for s in os.environ["PROFILE_L"].split(",")):
+        csl = build_clusters(data.positions, data.faces,
+                             ClusterConfig(cluster_size=Lsz))
+        jax.block_until_ready(csl)
+        cull = jax.jit(lambda p, e: _cull_frustum(p, e, csl.cmin, csl.cmax))
+        surv = timeit(f"L={Lsz:4d} cull [T,{csl.num_clusters}]", cull, planes, eye)
+        comp = jax.jit(lambda s: _compact(s, K))
+        lists, counts = timeit(f"L={Lsz:4d} compact(sort)", comp, surv)
+        cn = np.asarray(counts)
+        timeit(f"L={Lsz:4d} origin_consts", jax.jit(lambda e: origin_consts(csl, e)), eye)
+        timeit(f"L={Lsz:4d} trace_dense", trace_dense, csl, eye, dirs, H, W, **kw)
+        print(f"   survivors/tile mean {cn.mean():.1f} max {cn.max()} "
+              f"tris-tested/tile {cn.mean() * Lsz:.0f}")
+
 if os.environ.get("PROFILE_SHADE"):
     from raytracercuda_tpu.models.mesh import VERTEX_DATA_NORMAL
     from raytracercuda_tpu.ops.interpolate import face_interpolate
