@@ -83,22 +83,35 @@ def main() -> None:
     tables = build_face_tables(data)
     jax.block_until_ready(tables)
 
-    # ONE fused frame program: XLA overlaps the phases and the tunnel's
-    # per-dispatch cost is paid once (the persistent compile cache keeps
-    # the bigger program's remote compile a one-time cost).
+    # Three separately-jitted stages (trace/occlusion/shade) rather than
+    # one frame-sized program: device-to-device handoff between them is
+    # free (~0.7 ms dispatch each, measured), and a single fused program
+    # was measured to push the tunnel's remote compile past 25 minutes.
     @jax.jit
-    def frame(scene, accel, tables, rays, eye, orient):
+    def prep(rays, eye, orient):
         dirs = rotate_rays(rays, orient)
         origin = jnp.broadcast_to(eye[None, :], dirs.shape)
-        hit = trace_dense(accel, eye, dirs, height=HEIGHT, width=WIDTH, **kw)
-        p = origin + dirs * jnp.minimum(hit.t, 1e6)[..., None]
-        so = jnp.where(hit.hit_mask[..., None], p, origin) + light * shadow_eps
-        shadow = occlusion_dense(accel, so, light, hit.hit_mask,
-                                 height=HEIGHT, width=WIDTH, **kw)
+        return dirs, origin
+
+    @jax.jit
+    def shadow_origins(hit_t, hit_mask, origin, dirs):
+        p = origin + dirs * jnp.minimum(hit_t, 1e6)[..., None]
+        return jnp.where(hit_mask[..., None], p, origin) + light * shadow_eps
+
+    @jax.jit
+    def shade(scene, tables, hit, origin, dirs, shadow):
         rgb = shade_lambert_rgb(scene, hit, origin, dirs,
                                 shadow_mask=shadow & hit.hit_mask,
                                 tables=tables)
         return pack_shaded(rgb)
+
+    def frame(scene, accel, tables, rays, eye, orient):
+        dirs, origin = prep(rays, eye, orient)
+        hit = trace_dense(accel, eye, dirs, height=HEIGHT, width=WIDTH, **kw)
+        so = shadow_origins(hit.t, hit.hit_mask, origin, dirs)
+        shadow = occlusion_dense(accel, so, light, hit.hit_mask,
+                                 height=HEIGHT, width=WIDTH, **kw)
+        return shade(scene, tables, hit, origin, dirs, shadow)
 
     out = frame(data, accel, tables, rays, eye, orient)
     out.block_until_ready()  # compile + warmup

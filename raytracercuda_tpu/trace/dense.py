@@ -25,6 +25,22 @@ tested (rounds advance a cursor through the FULL sorted survivor list —
 nothing is dropped on overflow), and the winning triangle is re-intersected
 with the oracle formula (`ops/math.tri_intersect`) so reported t/u/v are
 bit-identical to the brute-force reference for the same winner.
+
+Why this is XLA-formulated rather than a Pallas traversal kernel
+----------------------------------------------------------------
+A TPU chip is ONE fat core: Pallas grid programs execute as a sequential
+pipeline, so "one program per ray/tile" (the CUDA shape of
+`BuildTree.cu:367`) serializes — any traversal must vectorize ACROSS
+tiles, which is exactly the batched rounds structure below.  The three
+phase primitives this path spends time in are ones XLA's hand-tuned TPU
+lowerings already own: a [T,C] matmul (cull), a row sort (compact — cumsum
++searchsorted, scatter and top_k alternatives all measured slower on-chip;
+see MEASUREMENTS.md), and batched gathers+contractions (sweep, measured
+~sub-ms: XLA fuses the epilogue).  A Pallas rewrite of these re-implements
+the same primitives without the fusion XLA already does.  Pallas IS used
+where kernel fusion has an edge over XLA's chunk-materializing formulation:
+the all-pairs streaming sweep (`trace/pallas_brute.py`, flash-style
+running min in VMEM) and the full-frame framebuffer kernels (`ops/*.py`).
 """
 
 from __future__ import annotations

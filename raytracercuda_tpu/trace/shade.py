@@ -111,11 +111,15 @@ class FaceTables(NamedTuple):
     ``scene.attrs``.
 
     ``rows``: ``[F, 13(+6)]`` = n0|n1|n2 (9) | albedo (3) | tex_id (1)
-    | optionally uv0|uv1|uv2 (6).
+    | optionally uv0|uv1|uv2 (6).  UV presence is encoded in the (static)
+    row width so the tuple jits cleanly.
     """
 
     rows: jnp.ndarray
-    has_uv: bool
+
+    @property
+    def has_uv(self) -> bool:
+        return self.rows.shape[1] >= 19
 
 
 @jax.jit
@@ -134,8 +138,7 @@ def _face_table_rows(scene: SceneData) -> jnp.ndarray:
 
 def build_face_tables(scene: SceneData) -> FaceTables:
     """Precompute per-face shading rows (once per scene update)."""
-    return FaceTables(rows=_face_table_rows(scene),
-                      has_uv=VERTEX_DATA_UV1 in scene.attrs)
+    return FaceTables(rows=_face_table_rows(scene))
 
 
 def shade_lambert_rgb(

@@ -1,6 +1,11 @@
 """Beam (tile-frustum) traversal tests: must match the brute-force oracle
 exactly on pinhole frames, including queue-overflow rounds."""
 
+import pytest
+
+#: Oracle-comparison suites dominate runtime; the smoke tier skips them.
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -1,6 +1,11 @@
 """Multi-bounce rendering: the dense/cluster path must match the brute-force
 multi-bounce oracle (identical control flow, oracle traces)."""
 
+import pytest
+
+#: Oracle-comparison suites dominate runtime; the smoke tier skips them.
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -3,6 +3,11 @@ allclose validation against the brute-force oracle (the strategy SURVEY.md
 §4 mandates: acceleration structures validate against the `CUDA 0`-style
 reference tracer)."""
 
+import pytest
+
+#: Oracle-comparison suites dominate runtime; the smoke tier skips them.
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -7,6 +7,11 @@ derivative includes coverage discontinuities that the stop-gradient
 formulation (correctly) does not model — SURVEY.md §7 hard-part #2.
 """
 
+import pytest
+
+#: Oracle-comparison suites dominate runtime; the smoke tier skips them.
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -2,6 +2,11 @@
 traversal and the brute-force oracle (the rounds formulation is exact,
 unlike the reference's overflow-dropping 16-entry hit clusters)."""
 
+import pytest
+
+#: Oracle-comparison suites dominate runtime; the smoke tier skips them.
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 
