@@ -25,7 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--out", default="out", help="output directory for PNG frames")
     p.add_argument("--size", type=int, default=512, help="square frame size (reference window: 500)")
     p.add_argument("--frames", type=int, default=1)
-    p.add_argument("--accel", choices=["bvh", "grid", "wavefront", "brute"], default="bvh")
+    p.add_argument("--accel",
+                   choices=["cluster", "bvh", "grid", "wavefront", "brute"],
+                   default="cluster")
     p.add_argument("--shading", choices=["parity", "lambert", "lambert-shadow"], default="parity")
     p.add_argument("--eye", type=float, nargs=3, default=None,
                    help="camera position (default: auto-framed like Model.cpp stats)")

@@ -1,0 +1,357 @@
+"""Pallas tile-sweep traversal: ray tiles in VMEM, triangle segments
+DMA'd from HBM by survivor list — the BASELINE north star's kernel shape.
+
+This is the Pallas counterpart of `trace/dense.py`'s SWEEP phase, replacing
+its sort + gather + chunked-map machinery with one kernel per pixel tile:
+
+  * the tile's 256 ray directions stay resident in VMEM;
+  * the per-tile survivor list (segment ids from the conservative frustum
+    cull, compacted in XLA) arrives via scalar prefetch (SMEM), so the
+    kernel can compute DMA source addresses before touching data;
+  * each listed segment's triangle block (`[16, G]` component-major, built
+    once per scene by `segment_blocks`) is copied HBM -> VMEM with
+    double-buffered async DMA — the next segment's copy overlaps the
+    current segment's Möller-Trumbore sweep;
+  * intersection, compare epilogue, and the running (t, slot) min live
+    entirely in VMEM/registers; only `[R]` winners reach HBM.
+
+Reference roles: the kd-tree march `BuildTree.cu:367-499` (per-ray
+traversal loop) and the wavefront leaf/face stages `Trace2.cu:69-137`,
+fused into one on-chip program per tile.
+
+Exactness matches `trace_dense`: the cull is conservative, every listed
+segment is swept, and the winner is re-intersected with the oracle
+formula, so t/u/v agree with the brute-force reference for the same
+winner.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.clusters import ClusterSet
+from ..config import TraceConfig
+from ..ops.math import tri_intersect
+from ..ops.pallas_util import interpret_mode
+from ..types import FLT_MAX, Hit
+from .dense import (
+    _CULLED,
+    _compact,
+    _cull_frustum,
+    tile_frustum_planes,
+    tile_pixels,
+    untile_pixels,
+)
+
+
+def segment_blocks(cs: ClusterSet) -> jnp.ndarray:
+    """``[C, 16, G]`` component-major triangle blocks (9 rows: v0|v1|v2
+    xyz; 7 zero rows pad the sublane tile).  Built once per scene —
+    unlike the XLA path's per-frame MT constants, the kernel works from
+    raw corners (the eye folds in as a scalar)."""
+    t = cs.tris.transpose(0, 2, 1)  # [C, 9, G]
+    return jnp.pad(t, ((0, 0), (0, 7), (0, 0)))
+
+
+def _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps):
+    """MT of rays (scalar o, [R,1] d) against a [16,G] block -> t [R,G].
+
+    Mirrors `ops/math.tri_intersect` term for term."""
+    v0x, v0y, v0z = tri[0:1, :], tri[1:2, :], tri[2:3, :]
+    e1x, e1y, e1z = tri[3:4, :] - v0x, tri[4:5, :] - v0y, tri[5:6, :] - v0z
+    e2x, e2y, e2z = tri[6:7, :] - v0x, tri[7:8, :] - v0y, tri[8:9, :] - v0z
+    # pvec = d x e2 : [R,G]
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv = 1.0 / det
+    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z  # [1,G] or [R,G]
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    # qvec = tvec x e1 : [1,G] (or [R,G] when origins vary per ray)
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+    miss = (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
+    miss = miss | jnp.isnan(u) | jnp.isnan(v) | jnp.isnan(t)
+    t = jnp.where(miss, FLT_MAX, t)
+    if t_eps is not None:
+        t = jnp.where(t < t_eps, FLT_MAX, t)
+    return t
+
+
+def _primary_kernel(rays_per_tile: int, g: int, t_eps):
+    R = rays_per_tile
+
+    def kernel(lists_ref, counts_ref, eye_ref, d_ref, tris_hbm,
+               bt_ref, bs_ref, buf, sems):
+        tile = pl.program_id(0)
+        count = counts_ref[tile]
+
+        def dma(slot, r):
+            s = lists_ref[tile, r]
+            return pltpu.make_async_copy(
+                tris_hbm.at[s], buf.at[slot], sems.at[slot])
+
+        @pl.when(count > 0)
+        def _():
+            dma(0, 0).start()
+
+        ox, oy, oz = eye_ref[0], eye_ref[1], eye_ref[2]
+        dx = d_ref[0, :, 0:1]  # [R,1]
+        dy = d_ref[0, :, 1:2]
+        dz = d_ref[0, :, 2:3]
+
+        def body(r, carry):
+            bt, bs = carry
+            slot = jax.lax.rem(r, 2)
+
+            @pl.when(r + 1 < count)
+            def _():
+                dma(1 - slot, r + 1).start()
+
+            dma(slot, r).wait()
+            tri = buf[pl.ds(slot, 1)][0]  # [16,G]
+            t = _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps)  # [R,G]
+            bt_blk = jnp.min(t, axis=1, keepdims=True)
+            j = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
+            cand = lists_ref[tile, r] * g + j
+            better = bt_blk < bt
+            return (jnp.where(better, bt_blk, bt),
+                    jnp.where(better, cand, bs))
+
+        init = (jnp.full((R, 1), FLT_MAX, jnp.float32),
+                jnp.zeros((R, 1), jnp.int32))
+        bt, bs = jax.lax.fori_loop(0, count, body, init)
+        bt_ref[:] = bt
+        bs_ref[:] = bs
+
+    return kernel
+
+
+def _occlusion_kernel(rays_per_tile: int, g: int, t_eps: float):
+    R = rays_per_tile
+
+    def kernel(lists_ref, counts_ref, light_ref, o_ref, act_ref, tris_hbm,
+               occ_ref, buf, sems):
+        tile = pl.program_id(0)
+        count = counts_ref[tile]
+
+        def dma(slot, r):
+            s = lists_ref[tile, r]
+            return pltpu.make_async_copy(
+                tris_hbm.at[s], buf.at[slot], sems.at[slot])
+
+        @pl.when(count > 0)
+        def _():
+            dma(0, 0).start()
+
+        dx, dy, dz = light_ref[0], light_ref[1], light_ref[2]
+        ox = o_ref[0, :, 0:1]  # [R,1] per-ray origins
+        oy = o_ref[0, :, 1:2]
+        oz = o_ref[0, :, 2:3]
+        active = act_ref[0, :][:, None] > 0  # [R,1]
+
+        def body(r, occ):
+            slot = jax.lax.rem(r, 2)
+
+            @pl.when(r + 1 < count)
+            def _():
+                dma(1 - slot, r + 1).start()
+
+            dma(slot, r).wait()
+            tri = buf[pl.ds(slot, 1)][0]
+            t = _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps)  # [R,G]
+            hit_any = jnp.any(t < FLT_MAX, axis=1, keepdims=True)
+            return occ | (hit_any & active)
+
+        occ = jax.lax.fori_loop(
+            0, count, body, jnp.zeros((R, 1), jnp.bool_))
+        occ_ref[:] = occ.astype(jnp.int32)
+
+    return kernel
+
+
+def _tile_lists(survive, num_segments):
+    """Compact the [T,S] cull mask into sorted per-tile segment lists.
+
+    Reuses the dense path's measured-fastest row compaction; ids are
+    clamped so padded entries address segment 0 harmlessly (the kernel
+    never reads past ``counts``)."""
+    lists, counts = _compact(survive, 1)
+    return jnp.minimum(lists, num_segments - 1).astype(jnp.int32), counts
+
+
+@partial(jax.jit, static_argnames=("height", "width", "tile_px", "trace_cfg"))
+def trace_dense_pallas(
+    cs: ClusterSet,
+    tri_blocks: jnp.ndarray,
+    eye: jnp.ndarray,
+    dirs: jnp.ndarray,
+    height: int,
+    width: int,
+    tile_px: int = 16,
+    trace_cfg: TraceConfig = TraceConfig(),
+) -> Hit:
+    """Closest hit for a pinhole frame via the Pallas tile-sweep kernel.
+
+    ``cs`` must be built with a lane-aligned ``cluster_size`` (the segment
+    width G, a multiple of 128); ``tri_blocks = segment_blocks(cs)``.
+    """
+    g = cs.cluster_size
+    assert g % 128 == 0, f"segment width {g} must be a multiple of 128"
+    num_rays = dirs.shape[0]
+    rays_per_tile = tile_px * tile_px
+    s = cs.num_clusters
+    t_eps = float(trace_cfg.t_epsilon) if trace_cfg.clip_backward_hits else None
+
+    d_tiles = tile_pixels(dirs, height, width, tile_px)  # [T,R,3]
+    planes = tile_frustum_planes(d_tiles, tile_px)
+    survive = _cull_frustum(planes, eye, cs.cmin, cs.cmax)  # [T,S]
+    lists, counts = _tile_lists(survive, s)
+    num_tiles = d_tiles.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # lists, counts, eye
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, rays_per_tile, 3), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # tri blocks stay in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((rays_per_tile, 1), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rays_per_tile, 1), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, g), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    bt, bs = pl.pallas_call(
+        _primary_kernel(rays_per_tile, g, t_eps),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1), jnp.int32),
+        ),
+        interpret=interpret_mode(),
+    )(lists, counts, eye.astype(jnp.float32), d_tiles, tri_blocks)
+
+    bt = untile_pixels(bt.reshape(num_tiles, rays_per_tile), height, width,
+                       tile_px)
+    bslot = untile_pixels(bs.reshape(num_tiles, rays_per_tile), height,
+                          width, tile_px)
+
+    # Oracle re-intersection of each winner (bit-identical t/u/v for the
+    # same winning face, exactly as `trace_dense` does).
+    tri = cs.tris.reshape(-1, 9)[bslot]
+    t, u, v = tri_intersect(eye[None, :], dirs, tri[:, 0:3], tri[:, 3:6],
+                            tri[:, 6:9])
+    hit = bt < FLT_MAX
+    t = jnp.where(t < FLT_MAX, t, bt)
+    face = jnp.where(hit, cs.face_order[bslot], -1)
+    return Hit(
+        t=jnp.where(hit, t, FLT_MAX),
+        u=jnp.where(hit, u, 0.0),
+        v=jnp.where(hit, v, 0.0),
+        face=face,
+    )
+
+
+@partial(jax.jit, static_argnames=("height", "width", "tile_px", "trace_cfg"))
+def occlusion_dense_pallas(
+    cs: ClusterSet,
+    tri_blocks: jnp.ndarray,
+    origins: jnp.ndarray,
+    light_dir: jnp.ndarray,
+    active: jnp.ndarray,
+    height: int,
+    width: int,
+    tile_px: int = 16,
+    trace_cfg: TraceConfig = TraceConfig(),
+) -> jnp.ndarray:
+    """Any-hit occlusion for a directional light via the Pallas kernel.
+
+    Same beam cull as `occlusion_dense` (origin AABB swept along the
+    light), same results; the sweep runs on-chip per tile."""
+    g = cs.cluster_size
+    assert g % 128 == 0
+    rays_per_tile = tile_px * tile_px
+    s = cs.num_clusters
+    t_eps = float(trace_cfg.t_epsilon)
+
+    o_tiles = tile_pixels(origins, height, width, tile_px)
+    a_tiles = tile_pixels(active, height, width, tile_px)
+    num_tiles = o_tiles.shape[0]
+
+    big = jnp.float32(3.0e37)
+    omin = jnp.min(jnp.where(a_tiles[..., None], o_tiles, big), axis=1)
+    omax = jnp.max(jnp.where(a_tiles[..., None], o_tiles, -big), axis=1)
+    tile_any = jnp.any(a_tiles, axis=1)
+
+    l = light_dir / jnp.linalg.norm(light_dir)
+    helper = jnp.where(jnp.abs(l[0]) < 0.9,
+                       jnp.array([1.0, 0.0, 0.0], jnp.float32),
+                       jnp.array([0.0, 1.0, 0.0], jnp.float32))
+    u_ax = jnp.cross(l, helper)
+    u_ax = u_ax / jnp.linalg.norm(u_ax)
+    v_ax = jnp.cross(l, u_ax)
+
+    def interval(boxmin, boxmax, axis):
+        c = (boxmin + boxmax) * 0.5
+        h = (boxmax - boxmin) * 0.5
+        return c @ axis - h @ jnp.abs(axis), c @ axis + h @ jnp.abs(axis)
+
+    ou_lo, ou_hi = interval(omin, omax, u_ax)
+    ov_lo, ov_hi = interval(omin, omax, v_ax)
+    ol_lo, _ = interval(omin, omax, l)
+    cu_lo, cu_hi = interval(cs.cmin, cs.cmax, u_ax)
+    cv_lo, cv_hi = interval(cs.cmin, cs.cmax, v_ax)
+    _, cl_hi = interval(cs.cmin, cs.cmax, l)
+    survive = (
+        tile_any[:, None]
+        & (cu_hi[None, :] >= ou_lo[:, None]) & (cu_lo[None, :] <= ou_hi[:, None])
+        & (cv_hi[None, :] >= ov_lo[:, None]) & (cv_lo[None, :] <= ov_hi[:, None])
+        & (cl_hi[None, :] >= ol_lo[:, None])
+    )
+    lists, counts = _tile_lists(survive, s)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # lists, counts, light
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, rays_per_tile, 3), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rays_per_tile), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((rays_per_tile, 1), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, g), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    occ = pl.pallas_call(
+        _occlusion_kernel(rays_per_tile, g, t_eps),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1),
+                                       jnp.int32),
+        interpret=interpret_mode(),
+    )(lists, counts, l.astype(jnp.float32), o_tiles,
+      a_tiles.astype(jnp.int32), tri_blocks)
+
+    occ = untile_pixels(occ.reshape(num_tiles, rays_per_tile), height,
+                        width, tile_px)
+    return (occ > 0) & active

@@ -49,9 +49,14 @@ a = timeit("brute XLA (suzanne 128^2, 15488 f)", trace_brute,
 b = timeit("brute Pallas (same)", trace_brute_pallas,
            data.positions, data.faces, origin, dirs, iters=3)
 eq_face = bool(jnp.all(a.face == b.face))
-eq_t = bool(jnp.all(a.t == b.t))
-print("pallas==xla face:", eq_face, "t:", eq_t, flush=True)
-assert eq_face and eq_t
+# t can differ by FMA-fusion rounding ACROSS differently-compiled programs
+# on TPU (same formula, different mul-add contractions) — allclose, and
+# print the observed worst case.
+hit = np.asarray(a.face) >= 0
+at, bt = np.asarray(a.t)[hit], np.asarray(b.t)[hit]
+rel = float(np.max(np.abs(at - bt) / np.maximum(np.abs(at), 1e-20))) if hit.any() else 0.0
+print(f"pallas==xla face: {eq_face}  max|dt|/t: {rel:.2e}", flush=True)
+assert eq_face and rel < 1e-5
 
 # --- Build timings on bunny (69,630 faces) --------------------------------
 sceneb = Scene.create(config)

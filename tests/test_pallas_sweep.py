@@ -1,0 +1,85 @@
+"""Pallas tile-sweep traversal vs the brute oracle (interpret mode on
+CPU, Mosaic on TPU): same winners for pinhole frames and directional
+occlusion, across segment counts and survivor skews."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytracercuda_tpu.accel.clusters import build_clusters
+from raytracercuda_tpu.config import ClusterConfig, TraceConfig
+from raytracercuda_tpu.models.camera import camera_ray_grid
+from raytracercuda_tpu.trace.bruteforce import any_hit_brute, trace_brute
+from raytracercuda_tpu.trace.pallas_sweep import (
+    occlusion_dense_pallas,
+    segment_blocks,
+    trace_dense_pallas,
+)
+from raytracercuda_tpu.types import FLT_MAX
+
+
+def sphere_scene(num_faces=700, seed=3, spread=0.8, center=(0, 0, 3.0)):
+    rng = np.random.default_rng(seed)
+    base = (rng.standard_normal((num_faces, 3)) * spread).astype(np.float32)
+    base /= np.maximum(np.linalg.norm(base, axis=1, keepdims=True), 1e-6)
+    base = base * spread + np.asarray(center, np.float32)
+    offs = rng.normal(scale=0.1, size=(num_faces, 2, 3)).astype(np.float32)
+    verts = np.concatenate([base[:, None], base[:, None] + offs],
+                           axis=1).reshape(-1, 3)
+    faces = np.arange(num_faces * 3, dtype=np.int32).reshape(-1, 3)
+    faces = np.concatenate([faces, np.zeros((num_faces, 1), np.int32)],
+                           axis=1)
+    return jnp.asarray(verts), jnp.asarray(faces)
+
+
+def setup(num_faces=700, side=64, g=128, seed=3):
+    positions, faces = sphere_scene(num_faces, seed=seed)
+    cs = build_clusters(positions, faces, ClusterConfig(cluster_size=g))
+    blocks = segment_blocks(cs)
+    dirs = camera_ray_grid(side, side)
+    eye = jnp.zeros(3, jnp.float32)
+    return positions, faces, cs, blocks, dirs, eye
+
+
+def test_primary_matches_brute():
+    positions, faces, cs, blocks, dirs, eye = setup()
+    got = trace_dense_pallas(cs, blocks, eye, dirs, 64, 64)
+    want = trace_brute(positions, faces, eye, dirs)
+    np.testing.assert_array_equal(np.asarray(got.face), np.asarray(want.face))
+    hit = np.asarray(want.face) >= 0
+    assert hit.any()
+    np.testing.assert_allclose(np.asarray(got.t)[hit],
+                               np.asarray(want.t)[hit], rtol=1e-6)
+
+
+def test_primary_multi_segment():
+    # Enough faces for several segments; some tiles see many, some none.
+    positions, faces, cs, blocks, dirs, eye = setup(num_faces=2500, seed=9)
+    assert cs.num_clusters >= 10
+    got = trace_dense_pallas(cs, blocks, eye, dirs, 64, 64)
+    want = trace_brute(positions, faces, eye, dirs)
+    np.testing.assert_array_equal(np.asarray(got.face), np.asarray(want.face))
+
+
+def test_primary_all_miss():
+    positions, faces, cs, blocks, dirs, eye = setup()
+    # Aim away from the scene: everything misses, counts are zero.
+    got = trace_dense_pallas(cs, blocks, eye, -dirs, 64, 64)
+    assert (np.asarray(got.face) == -1).all()
+    assert (np.asarray(got.t) == FLT_MAX).all()
+
+
+def test_occlusion_matches_brute():
+    positions, faces, cs, blocks, dirs, eye = setup(num_faces=1200, seed=5)
+    hit = trace_brute(positions, faces, eye, dirs)
+    light = jnp.asarray([0.3, 0.9, -0.3], jnp.float32)
+    light = light / jnp.linalg.norm(light)
+    p = eye[None, :] + dirs * jnp.minimum(hit.t, 1e6)[..., None]
+    so = jnp.where(hit.hit_mask[..., None], p, eye[None, :]) + light * 1e-3
+    got = occlusion_dense_pallas(cs, blocks, so, light, hit.hit_mask, 64, 64)
+    want = any_hit_brute(positions, faces, so,
+                         jnp.broadcast_to(light, dirs.shape),
+                         jnp.full(dirs.shape[:1], float(FLT_MAX)),
+                         TraceConfig()) & hit.hit_mask
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert np.asarray(want).any()  # the scene actually self-shadows
