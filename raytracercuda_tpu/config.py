@@ -149,6 +149,11 @@ class TraceConfig:
     #: Cluster-column chunk for the [tiles x clusters] cull/sort rectangle;
     #: scenes with more clusters run multiple exact passes.
     dense_cluster_chunk: int = 8192
+    #: Route pinhole frames through the Pallas tile-sweep kernel
+    #: (`trace/pallas_sweep.py`) instead of the XLA dense sweep.  Requires
+    #: ClusterConfig.cluster_size to be a multiple of 128 (lane-aligned
+    #: segments); ignored otherwise.
+    use_pallas_sweep: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

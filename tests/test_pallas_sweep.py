@@ -83,3 +83,31 @@ def test_occlusion_matches_brute():
                          TraceConfig()) & hit.hit_mask
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert np.asarray(want).any()  # the scene actually self-shadows
+
+
+def test_pipeline_routes_pallas_sweep():
+    """TraceConfig.use_pallas_sweep routes pinhole frames through the
+    kernel with identical results to the XLA dense path."""
+    import dataclasses
+
+    from raytracercuda_tpu.config import AccelKind, RenderConfig
+    from raytracercuda_tpu.trace.pipeline import trace_hit
+
+    positions, faces, cs, blocks, dirs, eye = setup(num_faces=900, seed=13)
+    base = RenderConfig(accel=AccelKind.CLUSTER,
+                        cluster=dataclasses.replace(
+                            RenderConfig().cluster, cluster_size=128))
+    flagged = dataclasses.replace(
+        base, trace=dataclasses.replace(base.trace, use_pallas_sweep=True))
+
+    class SceneStub:
+        pass
+
+    scene = SceneStub()
+    scene.positions, scene.faces = positions, faces
+    origin = jnp.broadcast_to(eye[None, :], dirs.shape)
+    a = trace_hit(scene, cs, origin, dirs, base, frame_hw=(64, 64),
+                  common_origin=eye)
+    b = trace_hit(scene, cs, origin, dirs, flagged, frame_hw=(64, 64),
+                  common_origin=eye)
+    np.testing.assert_array_equal(np.asarray(a.face), np.asarray(b.face))
