@@ -6,8 +6,10 @@ its sort + gather + chunked-map machinery with one kernel per pixel tile:
 
   * the tile's 256 ray directions stay resident in VMEM;
   * the per-tile survivor list (segment ids from the conservative frustum
-    cull, compacted in XLA) arrives via scalar prefetch (SMEM), so the
-    kernel can compute DMA source addresses before touching data;
+    cull, compacted in XLA) arrives as a per-tile SMEM block (~2 KB/tile;
+    the full [T,S] table would blow the 1 MB SMEM budget as a
+    scalar-prefetch operand), so the kernel computes DMA source addresses
+    from scalars before touching data;
   * each listed segment's triangle block (`[16, G]` component-major, built
     once per scene by `segment_blocks`) is copied HBM -> VMEM with
     double-buffered async DMA — the next segment's copy overlaps the
@@ -92,11 +94,10 @@ def _primary_kernel(rays_per_tile: int, g: int, t_eps):
 
     def kernel(lists_ref, counts_ref, eye_ref, d_ref, tris_hbm,
                bt_ref, bs_ref, buf, sems):
-        tile = pl.program_id(0)
-        count = counts_ref[tile]
+        count = counts_ref[0]
 
         def dma(slot, r):
-            s = lists_ref[tile, r]
+            s = lists_ref[0, r]
             return pltpu.make_async_copy(
                 tris_hbm.at[s], buf.at[slot], sems.at[slot])
 
@@ -122,7 +123,7 @@ def _primary_kernel(rays_per_tile: int, g: int, t_eps):
             t = _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps)  # [R,G]
             bt_blk = jnp.min(t, axis=1, keepdims=True)
             j = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-            cand = lists_ref[tile, r] * g + j
+            cand = lists_ref[0, r] * g + j
             better = bt_blk < bt
             return (jnp.where(better, bt_blk, bt),
                     jnp.where(better, cand, bs))
@@ -141,11 +142,10 @@ def _occlusion_kernel(rays_per_tile: int, g: int, t_eps: float):
 
     def kernel(lists_ref, counts_ref, light_ref, o_ref, act_ref, tris_hbm,
                occ_ref, buf, sems):
-        tile = pl.program_id(0)
-        count = counts_ref[tile]
+        count = counts_ref[0]
 
         def dma(slot, r):
-            s = lists_ref[tile, r]
+            s = lists_ref[0, r]
             return pltpu.make_async_copy(
                 tris_hbm.at[s], buf.at[slot], sems.at[slot])
 
@@ -218,32 +218,36 @@ def trace_dense_pallas(
     lists, counts = _tile_lists(survive, s)
     num_tiles = d_tiles.shape[0]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # lists, counts, eye
+    # Each program sees only ITS tile's survivor row as a (1, S) SMEM
+    # block (~2 KB) — the whole [T, S] table would blow the 1 MB SMEM
+    # budget as a scalar-prefetch operand.
+    w = lists.shape[1]
+    bt, bs = pl.pallas_call(
+        _primary_kernel(rays_per_tile, g, t_eps),
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, rays_per_tile, 3), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, w), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # eye [3]
+            pl.BlockSpec((1, rays_per_tile, 3), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # tri blocks stay in HBM
         ],
         out_specs=(
-            pl.BlockSpec((rays_per_tile, 1), lambda t, *_: (t, 0),
+            pl.BlockSpec((rays_per_tile, 1), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rays_per_tile, 1), lambda t, *_: (t, 0),
+            pl.BlockSpec((rays_per_tile, 1), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 16, g), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )
-    bt, bs = pl.pallas_call(
-        _primary_kernel(rays_per_tile, g, t_eps),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1), jnp.int32),
-        ),
         interpret=interpret_mode(),
     )(lists, counts, eye.astype(jnp.float32), d_tiles, tri_blocks)
 
@@ -326,28 +330,29 @@ def occlusion_dense_pallas(
     )
     lists, counts = _tile_lists(survive, s)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # lists, counts, light
+    w = lists.shape[1]
+    occ = pl.pallas_call(
+        _occlusion_kernel(rays_per_tile, g, t_eps),
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, rays_per_tile, 3), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, w), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # light [3]
+            pl.BlockSpec((1, rays_per_tile, 3), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rays_per_tile), lambda t, *_: (t, 0),
+            pl.BlockSpec((1, rays_per_tile), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((rays_per_tile, 1), lambda t, *_: (t, 0),
+        out_specs=pl.BlockSpec((rays_per_tile, 1), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1),
+                                       jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((2, 16, g), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )
-    occ = pl.pallas_call(
-        _occlusion_kernel(rays_per_tile, g, t_eps),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1),
-                                       jnp.int32),
         interpret=interpret_mode(),
     )(lists, counts, l.astype(jnp.float32), o_tiles,
       a_tiles.astype(jnp.int32), tri_blocks)
