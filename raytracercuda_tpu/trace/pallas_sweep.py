@@ -21,10 +21,11 @@ Reference roles: the kd-tree march `BuildTree.cu:367-499` (per-ray
 traversal loop) and the wavefront leaf/face stages `Trace2.cu:69-137`,
 fused into one on-chip program per tile.
 
-Exactness matches `trace_dense`: the cull is conservative, every listed
-segment is swept, and the winner is re-intersected with the oracle
-formula, so t/u/v agree with the brute-force reference for the same
-winner.
+Exactness: the cull is conservative, every listed segment is swept, and
+t/u/v come from the kernel's Möller–Trumbore — the SAME formula as the
+oracle, term for term (on-chip it selects the same winners as the exact
+all-pairs oracle where the XLA dense path's rearranged algebra flips ~1%
+of near-tie pixels; see MEASUREMENTS.md).
 """
 
 from __future__ import annotations
@@ -38,7 +39,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.clusters import ClusterSet
 from ..config import TraceConfig
-from ..ops.math import tri_intersect
 from ..ops.pallas_util import interpret_mode
 from ..types import FLT_MAX, Hit
 from .dense import (
@@ -86,18 +86,18 @@ def _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps):
     t = jnp.where(miss, FLT_MAX, t)
     if t_eps is not None:
         t = jnp.where(t < t_eps, FLT_MAX, t)
-    return t
+    return t, u, v
 
 
 def _primary_kernel(rays_per_tile: int, g: int, t_eps):
     R = rays_per_tile
 
     def kernel(lists_ref, counts_ref, eye_ref, d_ref, tris_hbm,
-               bt_ref, bs_ref, buf, sems):
-        count = counts_ref[0]
+               bt_ref, bu_ref, bv_ref, bs_ref, buf, sems):
+        count = counts_ref[0, 0, 0]
 
         def dma(slot, r):
-            s = lists_ref[0, r]
+            s = lists_ref[0, 0, r]
             return pltpu.make_async_copy(
                 tris_hbm.at[s], buf.at[slot], sems.at[slot])
 
@@ -111,7 +111,7 @@ def _primary_kernel(rays_per_tile: int, g: int, t_eps):
         dz = d_ref[0, :, 2:3]
 
         def body(r, carry):
-            bt, bs = carry
+            bt, bu, bv, bs = carry
             slot = jax.lax.rem(r, 2)
 
             @pl.when(r + 1 < count)
@@ -120,18 +120,28 @@ def _primary_kernel(rays_per_tile: int, g: int, t_eps):
 
             dma(slot, r).wait()
             tri = buf[pl.ds(slot, 1)][0]  # [16,G]
-            t = _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps)  # [R,G]
+            t, u, v = _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps)  # [R,G]
             bt_blk = jnp.min(t, axis=1, keepdims=True)
             j = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-            cand = lists_ref[0, r] * g + j
+            # Winner u/v by one-hot select (no lane gather on TPU).
+            sel = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == j
+            u_blk = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
+            v_blk = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
+            cand = lists_ref[0, 0, r] * g + j
             better = bt_blk < bt
             return (jnp.where(better, bt_blk, bt),
+                    jnp.where(better, u_blk, bu),
+                    jnp.where(better, v_blk, bv),
                     jnp.where(better, cand, bs))
 
         init = (jnp.full((R, 1), FLT_MAX, jnp.float32),
+                jnp.zeros((R, 1), jnp.float32),
+                jnp.zeros((R, 1), jnp.float32),
                 jnp.zeros((R, 1), jnp.int32))
-        bt, bs = jax.lax.fori_loop(0, count, body, init)
+        bt, bu, bv, bs = jax.lax.fori_loop(0, count, body, init)
         bt_ref[:] = bt
+        bu_ref[:] = bu
+        bv_ref[:] = bv
         bs_ref[:] = bs
 
     return kernel
@@ -142,10 +152,10 @@ def _occlusion_kernel(rays_per_tile: int, g: int, t_eps: float):
 
     def kernel(lists_ref, counts_ref, light_ref, o_ref, act_ref, tris_hbm,
                occ_ref, buf, sems):
-        count = counts_ref[0]
+        count = counts_ref[0, 0, 0]
 
         def dma(slot, r):
-            s = lists_ref[0, r]
+            s = lists_ref[0, 0, r]
             return pltpu.make_async_copy(
                 tris_hbm.at[s], buf.at[slot], sems.at[slot])
 
@@ -157,7 +167,7 @@ def _occlusion_kernel(rays_per_tile: int, g: int, t_eps: float):
         ox = o_ref[0, :, 0:1]  # [R,1] per-ray origins
         oy = o_ref[0, :, 1:2]
         oz = o_ref[0, :, 2:3]
-        active = act_ref[0, :][:, None] > 0  # [R,1]
+        active = act_ref[0] > 0  # [R,1]
 
         def body(r, occ):
             slot = jax.lax.rem(r, 2)
@@ -168,25 +178,57 @@ def _occlusion_kernel(rays_per_tile: int, g: int, t_eps: float):
 
             dma(slot, r).wait()
             tri = buf[pl.ds(slot, 1)][0]
-            t = _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps)  # [R,G]
+            t, _, _ = _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps)  # [R,G]
             hit_any = jnp.any(t < FLT_MAX, axis=1, keepdims=True)
-            return occ | (hit_any & active)
+            # int32 carry: Mosaic cannot legalize bool-vector loop carries.
+            return jnp.maximum(occ, (hit_any & active).astype(jnp.int32))
 
         occ = jax.lax.fori_loop(
-            0, count, body, jnp.zeros((R, 1), jnp.bool_))
-        occ_ref[:] = occ.astype(jnp.int32)
+            0, count, body, jnp.zeros((R, 1), jnp.int32))
+        occ_ref[:] = occ
 
     return kernel
 
 
-def _tile_lists(survive, num_segments):
+def _tile_lists(survive, num_segments, max_w: int = 128):
     """Compact the [T,S] cull mask into sorted per-tile segment lists.
 
-    Reuses the dense path's measured-fastest row compaction; ids are
-    clamped so padded entries address segment 0 harmlessly (the kernel
-    never reads past ``counts``)."""
-    lists, counts = _compact(survive, 1)
-    return jnp.minimum(lists, num_segments - 1).astype(jnp.int32), counts
+    Fast path: one-hot MATMUL compaction — ``lists[t,r] = Σ_s E[t,s,r]·s``
+    with ``E = (cumsum(mask)==r+1) & mask`` — pure VPU compares plus one
+    f32 contraction, measured far below the row sort's fixed ~2.5 ms
+    floor.  Exactness guard: covers ranks < ``max_w``; the rare frame
+    where some tile exceeds it takes the full-width sort instead
+    (``lax.cond``, one branch executes).  Output ids are clamped so padded
+    entries address segment 0 harmlessly (the kernel never reads past
+    ``counts``)."""
+    t, s = survive.shape
+    counts = jnp.sum(survive, axis=1).astype(jnp.int32)
+    w = min(max_w, s)
+    out_w = -(-s // 128) * 128  # kernel SMEM block width (Mosaic 128 rule)
+
+    def onehot(_):
+        rank = jnp.cumsum(survive.astype(jnp.int32), axis=1)
+        r_ids = jnp.arange(w, dtype=jnp.int32)
+        e = (rank[:, :, None] == (r_ids[None, None] + 1)) & survive[:, :, None]
+        s_ids = jnp.arange(s, dtype=jnp.float32)
+        lists = jnp.einsum("tsr,s->tr", e.astype(jnp.float32), s_ids,
+                           preferred_element_type=jnp.float32)
+        lists = lists.astype(jnp.int32)
+        return jnp.pad(lists, ((0, 0), (0, out_w - w)))
+
+    def sortpath(_):
+        lists, _ = _compact(survive, 1)
+        lists = jnp.minimum(lists, num_segments - 1)
+        return jnp.pad(lists, ((0, 0), (0, out_w - lists.shape[1])))
+
+    if s <= w:  # one-hot always exact; no guard needed
+        lists = onehot(None)
+    else:
+        lists = jax.lax.cond(jnp.max(counts) <= w, onehot, sortpath, None)
+    # Mosaic block rule: the last two dims of a blocked operand must be
+    # 8/128-divisible or span the whole array — so ship lists as
+    # [T, 1, W128] and counts as [T, 1, 1], blocked (1, full, full).
+    return lists.reshape(t, 1, out_w), counts.reshape(t, 1, 1)
 
 
 @partial(jax.jit, static_argnames=("height", "width", "tile_px", "trace_cfg"))
@@ -221,26 +263,26 @@ def trace_dense_pallas(
     # Each program sees only ITS tile's survivor row as a (1, S) SMEM
     # block (~2 KB) — the whole [T, S] table would blow the 1 MB SMEM
     # budget as a scalar-prefetch operand.
-    w = lists.shape[1]
-    bt, bs = pl.pallas_call(
+    w = lists.shape[2]
+    bt, bu, bv, bs = pl.pallas_call(
         _primary_kernel(rays_per_tile, g, t_eps),
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, w), lambda t: (t, 0),
+            pl.BlockSpec((1, 1, w), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # eye [3]
             pl.BlockSpec((1, rays_per_tile, 3), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # tri blocks stay in HBM
         ],
-        out_specs=(
+        out_specs=tuple(
             pl.BlockSpec((rays_per_tile, 1), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rays_per_tile, 1), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+                         memory_space=pltpu.VMEM) for _ in range(4)),
         out_shape=(
+            jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1), jnp.int32),
         ),
@@ -251,23 +293,22 @@ def trace_dense_pallas(
         interpret=interpret_mode(),
     )(lists, counts, eye.astype(jnp.float32), d_tiles, tri_blocks)
 
-    bt = untile_pixels(bt.reshape(num_tiles, rays_per_tile), height, width,
-                       tile_px)
-    bslot = untile_pixels(bs.reshape(num_tiles, rays_per_tile), height,
-                          width, tile_px)
+    def unt(x):
+        return untile_pixels(x.reshape(num_tiles, rays_per_tile), height,
+                             width, tile_px)
 
-    # Oracle re-intersection of each winner (bit-identical t/u/v for the
-    # same winning face, exactly as `trace_dense` does).
-    tri = cs.tris.reshape(-1, 9)[bslot]
-    t, u, v = tri_intersect(eye[None, :], dirs, tri[:, 0:3], tri[:, 3:6],
-                            tri[:, 6:9])
+    bt, bu, bv, bslot = unt(bt), unt(bu), unt(bv), unt(bs)
+
+    # t/u/v come straight from the kernel — the SAME formula as the
+    # oracle's `tri_intersect`, term for term, so no re-intersection pass
+    # (and no 36-byte scattered gather per pixel) is needed.  The only
+    # remaining gather maps winning slots to original face ids.
     hit = bt < FLT_MAX
-    t = jnp.where(t < FLT_MAX, t, bt)
     face = jnp.where(hit, cs.face_order[bslot], -1)
     return Hit(
-        t=jnp.where(hit, t, FLT_MAX),
-        u=jnp.where(hit, u, 0.0),
-        v=jnp.where(hit, v, 0.0),
+        t=jnp.where(hit, bt, FLT_MAX),
+        u=jnp.where(hit, bu, 0.0),
+        v=jnp.where(hit, bv, 0.0),
         face=face,
     )
 
@@ -330,18 +371,19 @@ def occlusion_dense_pallas(
     )
     lists, counts = _tile_lists(survive, s)
 
-    w = lists.shape[1]
+    w = lists.shape[2]
     occ = pl.pallas_call(
         _occlusion_kernel(rays_per_tile, g, t_eps),
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, w), lambda t: (t, 0),
+            pl.BlockSpec((1, 1, w), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # light [3]
             pl.BlockSpec((1, rays_per_tile, 3), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rays_per_tile), lambda t: (t, 0),
+            pl.BlockSpec((1, rays_per_tile, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -355,7 +397,7 @@ def occlusion_dense_pallas(
         ],
         interpret=interpret_mode(),
     )(lists, counts, l.astype(jnp.float32), o_tiles,
-      a_tiles.astype(jnp.int32), tri_blocks)
+      a_tiles.astype(jnp.int32)[..., None], tri_blocks)
 
     occ = untile_pixels(occ.reshape(num_tiles, rays_per_tile), height,
                         width, tile_px)

@@ -67,6 +67,25 @@ hp = timeit("trace Pallas sweep", trace_dense_pallas, csG, blocks, eye, dirs,
             H, W, tile_px=16, trace_cfg=config.trace)
 same = float(np.mean(np.asarray(hx.face) == np.asarray(hp.face)))
 print("   face agreement:", same, flush=True)
+if same < 1.0:
+    # Referee against the exact-formula oracle (validated vs XLA brute).
+    from raytracercuda_tpu.trace.pallas_brute import trace_brute_pallas
+
+    ho = timeit("trace oracle (pallas brute)", trace_brute_pallas,
+                data.positions, data.faces, origin, dirs, iters=2)
+    fo = np.asarray(ho.face)
+    fx, fp_, to = np.asarray(hx.face), np.asarray(hp.face), np.asarray(ho.t)
+    tx, tp = np.asarray(hx.t), np.asarray(hp.t)
+    print("   XLA==oracle:", float(np.mean(fx == fo)),
+          " pallas==oracle:", float(np.mean(fp_ == fo)), flush=True)
+    bad = fp_ != fo
+    if bad.any():
+        dt = np.abs(tp[bad] - to[bad]) / np.maximum(np.abs(to[bad]), 1e-9)
+        print(f"   pallas-vs-oracle diffs: {bad.sum()} px; "
+          f"t rel-err median {np.median(dt):.2e} max {dt.max():.2e}",
+          flush=True)
+        print("   miss-vs-hit mismatches:",
+              int(np.sum((fp_ < 0) != (fo < 0))), flush=True)
 
 p = origin + dirs * jnp.minimum(hx.t, 1e6)[..., None]
 so = jnp.where(hx.hit_mask[..., None], p, origin) + light * (1e-4 * extent)
@@ -77,3 +96,24 @@ op = timeit("occl Pallas sweep", occlusion_dense_pallas, csG, blocks, so,
             light, hm, H, W, tile_px=16, trace_cfg=config.trace)
 print("   occl agreement:", float(np.mean(np.asarray(ox) == np.asarray(op))),
       flush=True)
+
+# --- phase isolation ---------------------------------------------------------
+if os.environ.get("PROFILE_PALLAS"):
+    import jax as _jax
+    from raytracercuda_tpu.trace.pallas_sweep import (
+        _cull_frustum as _cf, _tile_lists, tile_frustum_planes as _tfp,
+        tile_pixels as _tp)
+
+    # Empty frame: rays aimed away -> counts ~ 0 -> kernel cost = per-program
+    # overhead + prologue.
+    timeit("trace Pallas EMPTY frame", trace_dense_pallas, csG, blocks, eye,
+           -dirs, H, W, tile_px=16, trace_cfg=config.trace)
+
+    @_jax.jit
+    def prologue(dirs_, eye_):
+        d_tiles = _tp(dirs_, H, W, 16)
+        planes = _tfp(d_tiles, 16)
+        survive = _cf(planes, eye_, csG.cmin, csG.cmax)
+        return _tile_lists(survive, csG.num_clusters)
+
+    timeit("prologue cull+onehot-lists", prologue, dirs, eye)
