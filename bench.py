@@ -37,9 +37,11 @@ def main() -> None:
 
     from raytracercuda_tpu import AccelKind, RenderConfig, Scene
     from raytracercuda_tpu.accel.clusters import build_clusters
+    from raytracercuda_tpu.config import ClusterConfig
     from raytracercuda_tpu.models.camera import camera_ray_grid
     from raytracercuda_tpu.models.loader import load_model
-    from raytracercuda_tpu.trace.dense import occlusion_dense, trace_dense
+    from raytracercuda_tpu.trace.pallas_sweep import (
+        occlusion_dense_pallas, segment_blocks, trace_dense_pallas)
     from raytracercuda_tpu.trace.pipeline import rotate_rays
     from raytracercuda_tpu.trace.shade import (
         build_face_tables, pack_shaded, shade_lambert_rgb)
@@ -67,16 +69,18 @@ def main() -> None:
     light = jnp.asarray([0.4, 0.8, -0.45], jnp.float32)
     light = light / jnp.linalg.norm(light)
 
-    accel = build_clusters(data.positions, data.faces, config.cluster)
-    jax.block_until_ready(accel)
+    # Lane-aligned segments for the Pallas tile-sweep kernels (the
+    # measured-fastest traversal: see MEASUREMENTS.md / pallas_sweep.py).
+    accel = build_clusters(data.positions, data.faces,
+                           ClusterConfig(cluster_size=128))
+    blocks = segment_blocks(accel)
+    jax.block_until_ready((accel, blocks))
     # Shadow-ray offset scaled to the scene, not hardcoded: push the origin
     # toward the light far enough to clear the surface at float precision.
     shadow_eps = jnp.float32(config.trace.t_epsilon * extent)
 
     tc = config.trace
-    kw = dict(tile_px=tc.dense_tile_px, round_k=tc.dense_round_clusters,
-              tiles_per_chunk=tc.dense_tiles_per_chunk,
-              cluster_chunk=tc.dense_cluster_chunk, trace_cfg=tc)
+    kw = dict(tile_px=tc.dense_tile_px, trace_cfg=tc)
 
     # Per-face shading rows: built once per scene (the scene is static
     # across frames), so shading is one scattered gather per pixel.
@@ -107,10 +111,12 @@ def main() -> None:
 
     def frame(scene, accel, tables, rays, eye, orient):
         dirs, origin = prep(rays, eye, orient)
-        hit = trace_dense(accel, eye, dirs, height=HEIGHT, width=WIDTH, **kw)
-        so = shadow_origins(hit.t, hit.hit_mask, origin, dirs)
-        shadow = occlusion_dense(accel, so, light, hit.hit_mask,
+        hit = trace_dense_pallas(accel, blocks, eye, dirs,
                                  height=HEIGHT, width=WIDTH, **kw)
+        so = shadow_origins(hit.t, hit.hit_mask, origin, dirs)
+        shadow = occlusion_dense_pallas(accel, blocks, so, light,
+                                        hit.hit_mask,
+                                        height=HEIGHT, width=WIDTH, **kw)
         return shade(scene, tables, hit, origin, dirs, shadow)
 
     out = frame(data, accel, tables, rays, eye, orient)

@@ -89,103 +89,117 @@ def _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps):
     return t, u, v
 
 
-def _primary_kernel(rays_per_tile: int, g: int, t_eps):
+def _primary_kernel(rays_per_tile: int, g: int, t_eps, tiles_per_program: int):
     R = rays_per_tile
+    B = tiles_per_program
 
     def kernel(lists_ref, counts_ref, eye_ref, d_ref, tris_hbm,
                bt_ref, bu_ref, bv_ref, bs_ref, buf, sems):
-        count = counts_ref[0, 0, 0]
-
-        def dma(slot, r):
-            s = lists_ref[0, 0, r]
-            return pltpu.make_async_copy(
-                tris_hbm.at[s], buf.at[slot], sems.at[slot])
-
-        @pl.when(count > 0)
-        def _():
-            dma(0, 0).start()
-
         ox, oy, oz = eye_ref[0], eye_ref[1], eye_ref[2]
-        dx = d_ref[0, :, 0:1]  # [R,1]
-        dy = d_ref[0, :, 1:2]
-        dz = d_ref[0, :, 2:3]
 
-        def body(r, carry):
-            bt, bu, bv, bs = carry
-            slot = jax.lax.rem(r, 2)
+        # B tiles per program amortize the fixed per-program cost
+        # (measured ~3.5 us each: an EMPTY 1024-program frame cost 7 ms).
+        def tile_body(b, _):
+            count = counts_ref[b, 0, 0]
 
-            @pl.when(r + 1 < count)
+            def dma(slot, r):
+                s = lists_ref[b, 0, r]
+                return pltpu.make_async_copy(
+                    tris_hbm.at[s], buf.at[slot], sems.at[slot])
+
+            @pl.when(count > 0)
             def _():
-                dma(1 - slot, r + 1).start()
+                dma(0, 0).start()
 
-            dma(slot, r).wait()
-            tri = buf[pl.ds(slot, 1)][0]  # [16,G]
-            t, u, v = _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps)  # [R,G]
-            bt_blk = jnp.min(t, axis=1, keepdims=True)
-            j = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-            # Winner u/v by one-hot select (no lane gather on TPU).
-            sel = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == j
-            u_blk = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
-            v_blk = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
-            cand = lists_ref[0, 0, r] * g + j
-            better = bt_blk < bt
-            return (jnp.where(better, bt_blk, bt),
-                    jnp.where(better, u_blk, bu),
-                    jnp.where(better, v_blk, bv),
-                    jnp.where(better, cand, bs))
+            d = d_ref[pl.ds(b, 1)][0]  # [R,3]
+            dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
 
-        init = (jnp.full((R, 1), FLT_MAX, jnp.float32),
-                jnp.zeros((R, 1), jnp.float32),
-                jnp.zeros((R, 1), jnp.float32),
-                jnp.zeros((R, 1), jnp.int32))
-        bt, bu, bv, bs = jax.lax.fori_loop(0, count, body, init)
-        bt_ref[:] = bt
-        bu_ref[:] = bu
-        bv_ref[:] = bv
-        bs_ref[:] = bs
+            def body(r, carry):
+                bt, bu, bv, bs = carry
+                slot = jax.lax.rem(r, 2)
+
+                @pl.when(r + 1 < count)
+                def _():
+                    dma(1 - slot, r + 1).start()
+
+                dma(slot, r).wait()
+                tri = buf[pl.ds(slot, 1)][0]  # [16,G]
+                t, u, v = _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps)
+                bt_blk = jnp.min(t, axis=1, keepdims=True)
+                j = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
+                # Winner u/v by one-hot select (no lane gather on TPU).
+                sel = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == j
+                u_blk = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
+                v_blk = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
+                cand = lists_ref[b, 0, r] * g + j
+                better = bt_blk < bt
+                return (jnp.where(better, bt_blk, bt),
+                        jnp.where(better, u_blk, bu),
+                        jnp.where(better, v_blk, bv),
+                        jnp.where(better, cand, bs))
+
+            init = (jnp.full((R, 1), FLT_MAX, jnp.float32),
+                    jnp.zeros((R, 1), jnp.float32),
+                    jnp.zeros((R, 1), jnp.float32),
+                    jnp.zeros((R, 1), jnp.int32))
+            bt, bu, bv, bs = jax.lax.fori_loop(0, count, body, init)
+            row = pl.ds(b * R, R)
+            bt_ref[row, :] = bt
+            bu_ref[row, :] = bu
+            bv_ref[row, :] = bv
+            bs_ref[row, :] = bs
+            return 0
+
+        jax.lax.fori_loop(0, B, tile_body, 0)
 
     return kernel
 
 
-def _occlusion_kernel(rays_per_tile: int, g: int, t_eps: float):
+def _occlusion_kernel(rays_per_tile: int, g: int, t_eps: float,
+                      tiles_per_program: int):
     R = rays_per_tile
+    B = tiles_per_program
 
     def kernel(lists_ref, counts_ref, light_ref, o_ref, act_ref, tris_hbm,
                occ_ref, buf, sems):
-        count = counts_ref[0, 0, 0]
-
-        def dma(slot, r):
-            s = lists_ref[0, 0, r]
-            return pltpu.make_async_copy(
-                tris_hbm.at[s], buf.at[slot], sems.at[slot])
-
-        @pl.when(count > 0)
-        def _():
-            dma(0, 0).start()
-
         dx, dy, dz = light_ref[0], light_ref[1], light_ref[2]
-        ox = o_ref[0, :, 0:1]  # [R,1] per-ray origins
-        oy = o_ref[0, :, 1:2]
-        oz = o_ref[0, :, 2:3]
-        active = act_ref[0] > 0  # [R,1]
 
-        def body(r, occ):
-            slot = jax.lax.rem(r, 2)
+        def tile_body(b, _):
+            count = counts_ref[b, 0, 0]
 
-            @pl.when(r + 1 < count)
+            def dma(slot, r):
+                s = lists_ref[b, 0, r]
+                return pltpu.make_async_copy(
+                    tris_hbm.at[s], buf.at[slot], sems.at[slot])
+
+            @pl.when(count > 0)
             def _():
-                dma(1 - slot, r + 1).start()
+                dma(0, 0).start()
 
-            dma(slot, r).wait()
-            tri = buf[pl.ds(slot, 1)][0]
-            t, _, _ = _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps)  # [R,G]
-            hit_any = jnp.any(t < FLT_MAX, axis=1, keepdims=True)
-            # int32 carry: Mosaic cannot legalize bool-vector loop carries.
-            return jnp.maximum(occ, (hit_any & active).astype(jnp.int32))
+            o = o_ref[pl.ds(b, 1)][0]  # [R,3] per-ray origins
+            ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+            active = act_ref[pl.ds(b, 1)][0] > 0  # [R,1]
 
-        occ = jax.lax.fori_loop(
-            0, count, body, jnp.zeros((R, 1), jnp.int32))
-        occ_ref[:] = occ
+            def body(r, occ):
+                slot = jax.lax.rem(r, 2)
+
+                @pl.when(r + 1 < count)
+                def _():
+                    dma(1 - slot, r + 1).start()
+
+                dma(slot, r).wait()
+                tri = buf[pl.ds(slot, 1)][0]
+                t, _, _ = _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps)
+                hit_any = jnp.any(t < FLT_MAX, axis=1, keepdims=True)
+                # int32 carry: Mosaic cannot legalize bool-vector carries.
+                return jnp.maximum(occ, (hit_any & active).astype(jnp.int32))
+
+            occ = jax.lax.fori_loop(
+                0, count, body, jnp.zeros((R, 1), jnp.int32))
+            occ_ref[pl.ds(b * R, R), :] = occ
+            return 0
+
+        jax.lax.fori_loop(0, B, tile_body, 0)
 
     return kernel
 
@@ -231,7 +245,8 @@ def _tile_lists(survive, num_segments, max_w: int = 128):
     return lists.reshape(t, 1, out_w), counts.reshape(t, 1, 1)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tile_px", "trace_cfg"))
+@partial(jax.jit, static_argnames=("height", "width", "tile_px",
+                                   "tiles_per_program", "trace_cfg"))
 def trace_dense_pallas(
     cs: ClusterSet,
     tri_blocks: jnp.ndarray,
@@ -240,6 +255,7 @@ def trace_dense_pallas(
     height: int,
     width: int,
     tile_px: int = 16,
+    tiles_per_program: int = 8,
     trace_cfg: TraceConfig = TraceConfig(),
 ) -> Hit:
     """Closest hit for a pinhole frame via the Pallas tile-sweep kernel.
@@ -259,26 +275,29 @@ def trace_dense_pallas(
     survive = _cull_frustum(planes, eye, cs.cmin, cs.cmax)  # [T,S]
     lists, counts = _tile_lists(survive, s)
     num_tiles = d_tiles.shape[0]
+    b = tiles_per_program
+    while num_tiles % b:
+        b //= 2  # frames with few tiles fall back to smaller batches
 
-    # Each program sees only ITS tile's survivor row as a (1, S) SMEM
-    # block (~2 KB) — the whole [T, S] table would blow the 1 MB SMEM
-    # budget as a scalar-prefetch operand.
+    # Each program sees only ITS B tiles' survivor rows as (B, 1, W) SMEM
+    # blocks (~2 KB/tile) — the whole [T, S] table would blow the 1 MB
+    # SMEM budget as a scalar-prefetch operand.
     w = lists.shape[2]
     bt, bu, bv, bs = pl.pallas_call(
-        _primary_kernel(rays_per_tile, g, t_eps),
-        grid=(num_tiles,),
+        _primary_kernel(rays_per_tile, g, t_eps, b),
+        grid=(num_tiles // b,),
         in_specs=[
-            pl.BlockSpec((1, 1, w), lambda t: (t, 0, 0),
+            pl.BlockSpec((b, 1, w), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((b, 1, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # eye [3]
-            pl.BlockSpec((1, rays_per_tile, 3), lambda t: (t, 0, 0),
+            pl.BlockSpec((b, rays_per_tile, 3), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # tri blocks stay in HBM
         ],
         out_specs=tuple(
-            pl.BlockSpec((rays_per_tile, 1), lambda t: (t, 0),
+            pl.BlockSpec((b * rays_per_tile, 1), lambda t: (t, 0),
                          memory_space=pltpu.VMEM) for _ in range(4)),
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1), jnp.float32),
@@ -313,7 +332,8 @@ def trace_dense_pallas(
     )
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tile_px", "trace_cfg"))
+@partial(jax.jit, static_argnames=("height", "width", "tile_px",
+                                   "tiles_per_program", "trace_cfg"))
 def occlusion_dense_pallas(
     cs: ClusterSet,
     tri_blocks: jnp.ndarray,
@@ -323,6 +343,7 @@ def occlusion_dense_pallas(
     height: int,
     width: int,
     tile_px: int = 16,
+    tiles_per_program: int = 8,
     trace_cfg: TraceConfig = TraceConfig(),
 ) -> jnp.ndarray:
     """Any-hit occlusion for a directional light via the Pallas kernel.
@@ -372,22 +393,25 @@ def occlusion_dense_pallas(
     lists, counts = _tile_lists(survive, s)
 
     w = lists.shape[2]
+    b = tiles_per_program
+    while num_tiles % b:
+        b //= 2
     occ = pl.pallas_call(
-        _occlusion_kernel(rays_per_tile, g, t_eps),
-        grid=(num_tiles,),
+        _occlusion_kernel(rays_per_tile, g, t_eps, b),
+        grid=(num_tiles // b,),
         in_specs=[
-            pl.BlockSpec((1, 1, w), lambda t: (t, 0, 0),
+            pl.BlockSpec((b, 1, w), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((b, 1, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # light [3]
-            pl.BlockSpec((1, rays_per_tile, 3), lambda t: (t, 0, 0),
+            pl.BlockSpec((b, rays_per_tile, 3), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rays_per_tile, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((b, rays_per_tile, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((rays_per_tile, 1), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((b * rays_per_tile, 1), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1),
                                        jnp.int32),

@@ -117,3 +117,37 @@ if os.environ.get("PROFILE_PALLAS"):
         return _tile_lists(survive, csG.num_clusters)
 
     timeit("prologue cull+onehot-lists", prologue, dirs, eye)
+
+if os.environ.get("PROFILE_PALLAS2"):
+    from raytracercuda_tpu.trace.dense import untile_pixels as _up
+
+    # Epilogue cost: 4 untiles + face gather + wheres.
+    T_, R_ = (H // 16) * (W // 16), 256
+    btx = jnp.zeros((T_ * R_, 1), jnp.float32)
+    bsx = jnp.zeros((T_ * R_, 1), jnp.int32)
+
+    @jax.jit
+    def epilogue(bt, bu, bv, bs):
+        def unt(x):
+            return _up(x.reshape(T_, R_), H, W, 16)
+        bt, bu, bv, bslot = unt(bt), unt(bu), unt(bv), unt(bs)
+        hit = bt < 3e38
+        face = jnp.where(hit, csG.face_order[bslot], -1)
+        return jnp.where(hit, bt, 3e38), bu, bv, face
+
+    timeit("epilogue untile+gather", epilogue, btx, btx, btx, bsx)
+
+    # SMEM width experiment: truncate lists to 128 (bunny max count 53,
+    # still exact HERE) to see if the 640-wide SMEM blocks are the cost.
+    import raytracercuda_tpu.trace.pallas_sweep as ps
+    orig = ps._tile_lists
+    def narrow(survive, num_segments, max_w=128):
+        lists, counts = orig(survive, num_segments, max_w)
+        return lists[:, :, :128], counts
+    ps._tile_lists = narrow
+    ps.trace_dense_pallas._clear_cache()
+    timeit("trace Pallas W=128 lists", ps.trace_dense_pallas, csG, blocks,
+           eye, dirs, H, W, tile_px=16, trace_cfg=config.trace)
+    timeit("trace Pallas W=128 EMPTY", ps.trace_dense_pallas, csG, blocks,
+           eye, -dirs, H, W, tile_px=16, trace_cfg=config.trace)
+    ps._tile_lists = orig
