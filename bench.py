@@ -40,8 +40,9 @@ def main() -> None:
     from raytracercuda_tpu.config import ClusterConfig
     from raytracercuda_tpu.models.camera import camera_ray_grid
     from raytracercuda_tpu.models.loader import load_model
+    from raytracercuda_tpu.trace.dense import tile_pixels, untile_pixels
     from raytracercuda_tpu.trace.pallas_sweep import (
-        occlusion_dense_pallas, segment_blocks, trace_dense_pallas)
+        occlusion_tiles_pallas, segment_blocks, trace_tiles_pallas)
     from raytracercuda_tpu.trace.pipeline import rotate_rays
     from raytracercuda_tpu.trace.shade import (
         build_face_tables, pack_shaded, shade_lambert_rgb)
@@ -80,7 +81,8 @@ def main() -> None:
     shadow_eps = jnp.float32(config.trace.t_epsilon * extent)
 
     tc = config.trace
-    kw = dict(tile_px=tc.dense_tile_px, trace_cfg=tc)
+    TP = tc.dense_tile_px
+    kw = dict(tile_px=TP, trace_cfg=tc)
 
     # Per-face shading rows: built once per scene (the scene is static
     # across frames), so shading is one scattered gather per pixel.
@@ -91,33 +93,46 @@ def main() -> None:
     # one frame-sized program: device-to-device handoff between them is
     # free (~0.7 ms dispatch each, measured), and a single fused program
     # was measured to push the tunnel's remote compile past 25 minutes.
+    # The whole frame runs TILE-MAJOR: rays are tiled once, every stage
+    # consumes/produces tile order, and only the final packed framebuffer
+    # pays one pixel reorder (the per-field untile epilogue measured
+    # 4.4 ms/frame).
     @jax.jit
     def prep(rays, eye, orient):
         dirs = rotate_rays(rays, orient)
-        origin = jnp.broadcast_to(eye[None, :], dirs.shape)
-        return dirs, origin
+        d_tiles = tile_pixels(dirs, HEIGHT, WIDTH, TP)
+        origin = jnp.broadcast_to(eye[None, :], (d_tiles.shape[0] * TP * TP, 3))
+        return d_tiles, origin
 
     @jax.jit
-    def shadow_origins(hit_t, hit_mask, origin, dirs):
-        p = origin + dirs * jnp.minimum(hit_t, 1e6)[..., None]
-        return jnp.where(hit_mask[..., None], p, origin) + light * shadow_eps
+    def trace(accel, blocks, eye, d_tiles):
+        return trace_tiles_pallas(accel, blocks, eye, d_tiles, **kw)
 
     @jax.jit
-    def shade(scene, tables, hit, origin, dirs, shadow):
-        rgb = shade_lambert_rgb(scene, hit, origin, dirs,
+    def shadow_pass(accel, blocks, hit_t, hit_mask, origin, d_tiles):
+        dirs_flat = d_tiles.reshape(-1, 3)
+        p = origin + dirs_flat * jnp.minimum(hit_t, 1e6)[..., None]
+        so = jnp.where(hit_mask[..., None], p, origin) + light * shadow_eps
+        t = d_tiles.shape[0]
+        return occlusion_tiles_pallas(
+            accel, blocks, so.reshape(t, TP * TP, 3),
+            light, hit_mask.reshape(t, TP * TP), **kw)
+
+    @jax.jit
+    def shade(scene, tables, hit, origin, d_tiles, shadow):
+        rgb = shade_lambert_rgb(scene, hit, origin, d_tiles.reshape(-1, 3),
                                 shadow_mask=shadow & hit.hit_mask,
                                 tables=tables)
-        return pack_shaded(rgb)
+        packed = pack_shaded(rgb)
+        t = d_tiles.shape[0]
+        return untile_pixels(packed.reshape(t, TP * TP), HEIGHT, WIDTH, TP)
 
     def frame(scene, accel, tables, rays, eye, orient):
-        dirs, origin = prep(rays, eye, orient)
-        hit = trace_dense_pallas(accel, blocks, eye, dirs,
-                                 height=HEIGHT, width=WIDTH, **kw)
-        so = shadow_origins(hit.t, hit.hit_mask, origin, dirs)
-        shadow = occlusion_dense_pallas(accel, blocks, so, light,
-                                        hit.hit_mask,
-                                        height=HEIGHT, width=WIDTH, **kw)
-        return shade(scene, tables, hit, origin, dirs, shadow)
+        d_tiles, origin = prep(rays, eye, orient)
+        hit = trace(accel, blocks, eye, d_tiles)
+        shadow = shadow_pass(accel, blocks, hit.t, hit.hit_mask, origin,
+                             d_tiles)
+        return shade(scene, tables, hit, origin, d_tiles, shadow)
 
     out = frame(data, accel, tables, rays, eye, orient)
     out.block_until_ready()  # compile + warmup

@@ -245,32 +245,25 @@ def _tile_lists(survive, num_segments, max_w: int = 128):
     return lists.reshape(t, 1, out_w), counts.reshape(t, 1, 1)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tile_px",
-                                   "tiles_per_program", "trace_cfg"))
-def trace_dense_pallas(
+def trace_tiles_pallas(
     cs: ClusterSet,
     tri_blocks: jnp.ndarray,
     eye: jnp.ndarray,
-    dirs: jnp.ndarray,
-    height: int,
-    width: int,
+    d_tiles: jnp.ndarray,
     tile_px: int = 16,
     tiles_per_program: int = 8,
     trace_cfg: TraceConfig = TraceConfig(),
 ) -> Hit:
-    """Closest hit for a pinhole frame via the Pallas tile-sweep kernel.
-
-    ``cs`` must be built with a lane-aligned ``cluster_size`` (the segment
-    width G, a multiple of 128); ``tri_blocks = segment_blocks(cs)``.
-    """
+    """TILE-MAJOR core: ``d_tiles [T,R,3]`` -> Hit with ``[T*R]`` fields
+    in tile order.  Callers that stay tile-major through shading (the
+    bench frame) skip the measured-4.4 ms per-field untile epilogue —
+    only the final packed framebuffer pays one reorder."""
     g = cs.cluster_size
     assert g % 128 == 0, f"segment width {g} must be a multiple of 128"
-    num_rays = dirs.shape[0]
     rays_per_tile = tile_px * tile_px
     s = cs.num_clusters
     t_eps = float(trace_cfg.t_epsilon) if trace_cfg.clip_backward_hits else None
 
-    d_tiles = tile_pixels(dirs, height, width, tile_px)  # [T,R,3]
     planes = tile_frustum_planes(d_tiles, tile_px)
     survive = _cull_frustum(planes, eye, cs.cmin, cs.cmax)  # [T,S]
     lists, counts = _tile_lists(survive, s)
@@ -312,11 +305,7 @@ def trace_dense_pallas(
         interpret=interpret_mode(),
     )(lists, counts, eye.astype(jnp.float32), d_tiles, tri_blocks)
 
-    def unt(x):
-        return untile_pixels(x.reshape(num_tiles, rays_per_tile), height,
-                             width, tile_px)
-
-    bt, bu, bv, bslot = unt(bt), unt(bu), unt(bv), unt(bs)
+    bt, bu, bv, bslot = bt[:, 0], bu[:, 0], bv[:, 0], bs[:, 0]
 
     # t/u/v come straight from the kernel — the SAME formula as the
     # oracle's `tri_intersect`, term for term, so no re-intersection pass
@@ -334,30 +323,53 @@ def trace_dense_pallas(
 
 @partial(jax.jit, static_argnames=("height", "width", "tile_px",
                                    "tiles_per_program", "trace_cfg"))
-def occlusion_dense_pallas(
+def trace_dense_pallas(
     cs: ClusterSet,
     tri_blocks: jnp.ndarray,
-    origins: jnp.ndarray,
-    light_dir: jnp.ndarray,
-    active: jnp.ndarray,
+    eye: jnp.ndarray,
+    dirs: jnp.ndarray,
     height: int,
     width: int,
     tile_px: int = 16,
     tiles_per_program: int = 8,
     trace_cfg: TraceConfig = TraceConfig(),
-) -> jnp.ndarray:
-    """Any-hit occlusion for a directional light via the Pallas kernel.
+) -> Hit:
+    """Closest hit for a pinhole frame (row-major pixels) via the Pallas
+    tile-sweep kernel.
 
-    Same beam cull as `occlusion_dense` (origin AABB swept along the
-    light), same results; the sweep runs on-chip per tile."""
+    ``cs`` must be built with a lane-aligned ``cluster_size`` (the segment
+    width G, a multiple of 128); ``tri_blocks = segment_blocks(cs)``.
+    """
+    d_tiles = tile_pixels(dirs, height, width, tile_px)  # [T,R,3]
+    hit = trace_tiles_pallas(cs, tri_blocks, eye, d_tiles, tile_px,
+                             tiles_per_program, trace_cfg)
+    num_tiles = d_tiles.shape[0]
+    rays_per_tile = tile_px * tile_px
+
+    def unt(x):
+        return untile_pixels(x.reshape(num_tiles, rays_per_tile), height,
+                             width, tile_px)
+
+    return Hit(t=unt(hit.t), u=unt(hit.u), v=unt(hit.v), face=unt(hit.face))
+
+
+def occlusion_tiles_pallas(
+    cs: ClusterSet,
+    tri_blocks: jnp.ndarray,
+    o_tiles: jnp.ndarray,
+    light_dir: jnp.ndarray,
+    a_tiles: jnp.ndarray,
+    tile_px: int = 16,
+    tiles_per_program: int = 8,
+    trace_cfg: TraceConfig = TraceConfig(),
+) -> jnp.ndarray:
+    """TILE-MAJOR core: ``o_tiles [T,R,3]`` + ``a_tiles [T,R]`` bool ->
+    ``[T*R]`` bool occlusion in tile order."""
     g = cs.cluster_size
     assert g % 128 == 0
     rays_per_tile = tile_px * tile_px
     s = cs.num_clusters
     t_eps = float(trace_cfg.t_epsilon)
-
-    o_tiles = tile_pixels(origins, height, width, tile_px)
-    a_tiles = tile_pixels(active, height, width, tile_px)
     num_tiles = o_tiles.shape[0]
 
     big = jnp.float32(3.0e37)
@@ -423,6 +435,32 @@ def occlusion_dense_pallas(
     )(lists, counts, l.astype(jnp.float32), o_tiles,
       a_tiles.astype(jnp.int32)[..., None], tri_blocks)
 
-    occ = untile_pixels(occ.reshape(num_tiles, rays_per_tile), height,
-                        width, tile_px)
-    return (occ > 0) & active
+    return (occ[:, 0] > 0) & a_tiles.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "tile_px",
+                                   "tiles_per_program", "trace_cfg"))
+def occlusion_dense_pallas(
+    cs: ClusterSet,
+    tri_blocks: jnp.ndarray,
+    origins: jnp.ndarray,
+    light_dir: jnp.ndarray,
+    active: jnp.ndarray,
+    height: int,
+    width: int,
+    tile_px: int = 16,
+    tiles_per_program: int = 8,
+    trace_cfg: TraceConfig = TraceConfig(),
+) -> jnp.ndarray:
+    """Any-hit occlusion for a directional light (row-major pixels).
+
+    Same beam cull as `occlusion_dense` (origin AABB swept along the
+    light), same results; the sweep runs on-chip per tile."""
+    o_tiles = tile_pixels(origins, height, width, tile_px)
+    a_tiles = tile_pixels(active, height, width, tile_px)
+    occ = occlusion_tiles_pallas(cs, tri_blocks, o_tiles, light_dir,
+                                 a_tiles, tile_px, tiles_per_program,
+                                 trace_cfg)
+    num_tiles = o_tiles.shape[0]
+    return untile_pixels(occ.reshape(num_tiles, tile_px * tile_px),
+                         height, width, tile_px)
