@@ -40,12 +40,12 @@ def main() -> None:
     from raytracercuda_tpu.config import ClusterConfig
     from raytracercuda_tpu.models.camera import camera_ray_grid
     from raytracercuda_tpu.models.loader import load_model
+    from raytracercuda_tpu.ops.math import normalize
     from raytracercuda_tpu.trace.dense import tile_pixels, untile_pixels
     from raytracercuda_tpu.trace.pallas_sweep import (
-        occlusion_tiles_pallas, segment_blocks, trace_tiles_pallas)
+        occlusion_tiles_pallas, shade_segment_blocks, trace_shade_tiles_pallas)
     from raytracercuda_tpu.trace.pipeline import rotate_rays
-    from raytracercuda_tpu.trace.shade import (
-        build_face_tables, pack_shaded, shade_lambert_rgb)
+    from raytracercuda_tpu.trace.shade import pack_shaded
     from raytracercuda_tpu.utils import content
 
     config = RenderConfig(accel=AccelKind.CLUSTER)
@@ -74,7 +74,7 @@ def main() -> None:
     # measured-fastest traversal: see MEASUREMENTS.md / pallas_sweep.py).
     accel = build_clusters(data.positions, data.faces,
                            ClusterConfig(cluster_size=128))
-    blocks = segment_blocks(accel)
+    blocks, has_uv = shade_segment_blocks(accel, data)
     jax.block_until_ready((accel, blocks))
     # Shadow-ray offset scaled to the scene, not hardcoded: push the origin
     # toward the light far enough to clear the surface at float precision.
@@ -83,11 +83,6 @@ def main() -> None:
     tc = config.trace
     TP = tc.dense_tile_px
     kw = dict(tile_px=TP, trace_cfg=tc)
-
-    # Per-face shading rows: built once per scene (the scene is static
-    # across frames), so shading is one scattered gather per pixel.
-    tables = build_face_tables(data)
-    jax.block_until_ready(tables)
 
     # Three separately-jitted stages (trace/occlusion/shade) rather than
     # one frame-sized program: device-to-device handoff between them is
@@ -106,7 +101,10 @@ def main() -> None:
 
     @jax.jit
     def trace(accel, blocks, eye, d_tiles):
-        return trace_tiles_pallas(accel, blocks, eye, d_tiles, **kw)
+        # Fused trace+interpolate: the kernel returns the winner's smooth
+        # normal and albedo, so shading below is pure elementwise math.
+        return trace_shade_tiles_pallas(accel, blocks, has_uv, eye,
+                                        d_tiles, **kw)
 
     @jax.jit
     def shadow_pass(accel, blocks, hit_t, hit_mask, origin, d_tiles):
@@ -119,27 +117,34 @@ def main() -> None:
             light, hit_mask.reshape(t, TP * TP), **kw)
 
     @jax.jit
-    def shade(scene, tables, hit, origin, d_tiles, shadow):
-        rgb = shade_lambert_rgb(scene, hit, origin, d_tiles.reshape(-1, 3),
-                                shadow_mask=shadow & hit.hit_mask,
-                                tables=tables)
+    def shade(hit, normal, albedo, d_tiles, shadow):
+        dirs_flat = d_tiles.reshape(-1, 3)
+        n = normalize(normal, eps=1e-30)
+        flip = jnp.sum(n * dirs_flat, axis=-1) > 0.0
+        n = jnp.where(flip[..., None], -n, n)
+        ndotl = jnp.maximum(jnp.sum(n * light, axis=-1), 0.0)
+        ndotl = jnp.where(shadow & hit.hit_mask, 0.0, ndotl)
+        ambient = 0.08
+        rgb = albedo * (ambient + (1.0 - ambient) * ndotl)[..., None]
+        bg = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+        rgb = jnp.where(hit.hit_mask[..., None], rgb, bg)
         packed = pack_shaded(rgb)
         t = d_tiles.shape[0]
         return untile_pixels(packed.reshape(t, TP * TP), HEIGHT, WIDTH, TP)
 
-    def frame(scene, accel, tables, rays, eye, orient):
+    def frame(scene, accel, rays, eye, orient):
         d_tiles, origin = prep(rays, eye, orient)
-        hit = trace(accel, blocks, eye, d_tiles)
+        hit, normal, albedo, _ = trace(accel, blocks, eye, d_tiles)
         shadow = shadow_pass(accel, blocks, hit.t, hit.hit_mask, origin,
                              d_tiles)
-        return shade(scene, tables, hit, origin, d_tiles, shadow)
+        return shade(hit, normal, albedo, d_tiles, shadow)
 
-    out = frame(data, accel, tables, rays, eye, orient)
+    out = frame(data, accel, rays, eye, orient)
     out.block_until_ready()  # compile + warmup
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = frame(data, accel, tables, rays, eye, orient)
+        out = frame(data, accel, rays, eye, orient)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / ITERS
 

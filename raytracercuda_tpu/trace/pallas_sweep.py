@@ -464,3 +464,199 @@ def occlusion_dense_pallas(
     num_tiles = o_tiles.shape[0]
     return untile_pixels(occ.reshape(num_tiles, tile_px * tile_px),
                          height, width, tile_px)
+
+
+# ---------------------------------------------------------------------------
+# Fused trace+interpolate variant: the kernel also interpolates the
+# winner's shading attributes (smooth normal, albedo, texture uv) by
+# one-hot selection per round, so the shade stage needs NO scattered
+# gathers at all — the reference's bmFaceInterpolate (`CudaComon.cuh:
+# 253-266`) runs inside the traversal kernel.
+# ---------------------------------------------------------------------------
+
+
+def shade_segment_blocks(cs: ClusterSet, scene) -> tuple[jnp.ndarray, bool]:
+    """``[C, 32, G]`` fused blocks: rows 0-8 corners, 9-17 vertex normals,
+    18-20 per-face albedo, 21 tex id, 22-27 vertex uvs (zeros when the
+    scene has none).  Built once per scene."""
+    from ..models.mesh import VERTEX_DATA_NORMAL, VERTEX_DATA_UV1
+
+    c, g = cs.num_clusters, cs.cluster_size
+    order = jnp.maximum(cs.face_order, 0)
+    f = scene.faces[order]  # [C*G, 4]
+    pad_ok = (cs.face_order >= 0)[:, None].astype(jnp.float32)
+
+    n = scene.attrs[VERTEX_DATA_NORMAL]
+    rows = [cs.tris.reshape(c * g, 9)]
+    rows.append(jnp.concatenate(
+        [n[f[:, 0]], n[f[:, 1]], n[f[:, 2]]], axis=1) * pad_ok)
+    mat = scene.mesh_material[f[:, 3]]
+    rows.append(scene.albedo[mat] * pad_ok)
+    rows.append(scene.texture_id[mat].astype(jnp.float32)[:, None])
+    has_uv = VERTEX_DATA_UV1 in scene.attrs
+    if has_uv:
+        uv = scene.attrs[VERTEX_DATA_UV1]
+        rows.append(jnp.concatenate(
+            [uv[f[:, 0], :2], uv[f[:, 1], :2], uv[f[:, 2], :2]], axis=1)
+            * pad_ok)
+    else:
+        rows.append(jnp.zeros((c * g, 6), jnp.float32))
+    flat = jnp.concatenate(rows, axis=1)  # [C*G, 28]
+    flat = jnp.pad(flat, ((0, 0), (0, 4)))
+    return flat.reshape(c, g, 32).transpose(0, 2, 1), has_uv
+
+
+def _primary_shade_kernel(rays_per_tile: int, g: int, t_eps, has_uv: bool,
+                          tiles_per_program: int):
+    R = rays_per_tile
+    B = tiles_per_program
+    # Outputs: t, slot, u, v, nx, ny, nz, ar, ag, ab (+ tex, tu, tv).
+    n_out = 13 if has_uv else 10
+
+    def kernel(lists_ref, counts_ref, eye_ref, d_ref, tris_hbm, *refs):
+        out_refs, (buf, sems) = refs[:n_out], refs[n_out:]
+        ox, oy, oz = eye_ref[0], eye_ref[1], eye_ref[2]
+
+        def tile_body(b, _):
+            count = counts_ref[b, 0, 0]
+
+            def dma(slot, r):
+                s = lists_ref[b, 0, r]
+                return pltpu.make_async_copy(
+                    tris_hbm.at[s], buf.at[slot], sems.at[slot])
+
+            @pl.when(count > 0)
+            def _():
+                dma(0, 0).start()
+
+            d = d_ref[pl.ds(b, 1)][0]  # [R,3]
+            dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+
+            def body(r, carry):
+                bt, bs, attrs = carry[0], carry[1], carry[2:]
+                slot = jax.lax.rem(r, 2)
+
+                @pl.when(r + 1 < count)
+                def _():
+                    dma(1 - slot, r + 1).start()
+
+                dma(slot, r).wait()
+                blk = buf[pl.ds(slot, 1)][0]  # [32,G]
+                t, u, v = _mt_rows(blk, ox, oy, oz, dx, dy, dz, t_eps)
+                bt_blk = jnp.min(t, axis=1, keepdims=True)
+                j = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
+                sel = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == j
+                better = bt_blk < bt
+
+                def pick(x):  # [R,G] -> winner [R,1]
+                    return jnp.sum(jnp.where(sel, x, 0.0), axis=1,
+                                   keepdims=True)
+
+                w_ = 1.0 - u - v
+                cand = [u, v]
+                for k in range(3):  # smooth normal components
+                    cand.append(blk[9 + k:10 + k, :] * w_
+                                + blk[12 + k:13 + k, :] * u
+                                + blk[15 + k:16 + k, :] * v)
+                for k in range(3):  # per-face albedo
+                    cand.append(jnp.broadcast_to(blk[18 + k:19 + k, :],
+                                                 t.shape))
+                if has_uv:
+                    cand.append(jnp.broadcast_to(blk[21:22, :], t.shape))
+                    cand.append(blk[22:23, :] * w_ + blk[24:25, :] * u
+                                + blk[26:27, :] * v)
+                    cand.append(blk[23:24, :] * w_ + blk[25:26, :] * u
+                                + blk[27:28, :] * v)
+
+                new_attrs = tuple(
+                    jnp.where(better, pick(cx), ax)
+                    for cx, ax in zip(cand, attrs))
+                cand_slot = lists_ref[b, 0, r] * g + j
+                return (jnp.where(better, bt_blk, bt),
+                        jnp.where(better, cand_slot, bs)) + new_attrs
+
+            init = (jnp.full((R, 1), FLT_MAX, jnp.float32),
+                    jnp.zeros((R, 1), jnp.int32)) + tuple(
+                        jnp.zeros((R, 1), jnp.float32)
+                        for _ in range(n_out - 2))
+            out = jax.lax.fori_loop(0, count, body, init)
+            row = pl.ds(b * R, R)
+            for ref, val in zip(out_refs, out):
+                ref[row, :] = val
+            return 0
+
+        jax.lax.fori_loop(0, B, tile_body, 0)
+
+    return kernel
+
+
+def trace_shade_tiles_pallas(
+    cs: ClusterSet,
+    shade_blocks: jnp.ndarray,
+    has_uv: bool,
+    eye: jnp.ndarray,
+    d_tiles: jnp.ndarray,
+    tile_px: int = 16,
+    tiles_per_program: int = 8,
+    trace_cfg: TraceConfig = TraceConfig(),
+):
+    """Fused trace+interpolate, tile-major.
+
+    Returns ``(Hit-without-face, slot, normal [N,3], albedo [N,3],
+    tex_uv [N,3] or None)`` — ``tex_uv`` packs (tex_id, u, v).  Shading
+    from these is pure elementwise math (no gathers)."""
+    g = cs.cluster_size
+    assert g % 128 == 0
+    rays_per_tile = tile_px * tile_px
+    s = cs.num_clusters
+    t_eps = float(trace_cfg.t_epsilon) if trace_cfg.clip_backward_hits else None
+
+    planes = tile_frustum_planes(d_tiles, tile_px)
+    survive = _cull_frustum(planes, eye, cs.cmin, cs.cmax)
+    lists, counts = _tile_lists(survive, s)
+    num_tiles = d_tiles.shape[0]
+    b = tiles_per_program
+    while num_tiles % b:
+        b //= 2
+
+    n_out = 13 if has_uv else 10
+    w = lists.shape[2]
+    n_px = num_tiles * rays_per_tile
+    outs = pl.pallas_call(
+        _primary_shade_kernel(rays_per_tile, g, t_eps, has_uv, b),
+        grid=(num_tiles // b,),
+        in_specs=[
+            pl.BlockSpec((b, 1, w), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 1, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # eye [3]
+            pl.BlockSpec((b, rays_per_tile, 3), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((b * rays_per_tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM) for _ in range(n_out)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(
+                (n_px, 1), jnp.int32 if i == 1 else jnp.float32)
+            for i in range(n_out)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 32, g), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret_mode(),
+    )(lists, counts, eye.astype(jnp.float32), d_tiles, shade_blocks)
+
+    bt, bs, bu, bv = outs[0][:, 0], outs[1][:, 0], outs[2][:, 0], outs[3][:, 0]
+    normal = jnp.concatenate([outs[4], outs[5], outs[6]], axis=1)
+    albedo = jnp.concatenate([outs[7], outs[8], outs[9]], axis=1)
+    tex_uv = jnp.concatenate([outs[10], outs[11], outs[12]],
+                             axis=1) if has_uv else None
+    hit = Hit(
+        t=jnp.where(bt < FLT_MAX, bt, FLT_MAX),
+        u=bu, v=bv,
+        face=jnp.where(bt < FLT_MAX, cs.face_order[bs], -1),
+    )
+    return hit, normal, albedo, tex_uv

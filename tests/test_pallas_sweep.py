@@ -111,3 +111,54 @@ def test_pipeline_routes_pallas_sweep():
     b = trace_hit(scene, cs, origin, dirs, flagged, frame_hw=(64, 64),
                   common_origin=eye)
     np.testing.assert_array_equal(np.asarray(a.face), np.asarray(b.face))
+
+
+def test_fused_trace_shade_matches_generic():
+    """The fused trace+interpolate kernel returns the same winners as
+    brute and the same interpolated normal/albedo/uv as the generic
+    attribute chain."""
+    from raytracercuda_tpu.models.scene import SceneData
+    from raytracercuda_tpu.ops.interpolate import face_interpolate
+    from raytracercuda_tpu.trace.dense import tile_pixels
+    from raytracercuda_tpu.trace.pallas_sweep import (
+        shade_segment_blocks, trace_shade_tiles_pallas)
+
+    rng = np.random.default_rng(21)
+    positions, faces = sphere_scene(900, seed=21)
+    nv = positions.shape[0]
+    normals = jnp.asarray(rng.standard_normal((nv, 3)).astype(np.float32))
+    uvs = jnp.asarray(rng.random((nv, 2)).astype(np.float32))
+    scene = SceneData(
+        positions=positions, faces=faces,
+        attrs={1: normals, 2: uvs},
+        mesh_material=jnp.asarray([1], jnp.int32),
+        albedo=jnp.asarray(rng.random((2, 3)).astype(np.float32)),
+        texture_id=jnp.asarray([-1, 0], jnp.int32),
+        textures=jnp.zeros((1, 4, 4, 3), jnp.float32),
+    )
+    cs = build_clusters(positions, faces, ClusterConfig(cluster_size=128))
+    blocks, has_uv = shade_segment_blocks(cs, scene)
+    assert has_uv
+    dirs = camera_ray_grid(64, 64)
+    eye = jnp.zeros(3, jnp.float32)
+    d_tiles = tile_pixels(dirs, 64, 64, 16)
+    hit, normal, albedo, tex_uv = trace_shade_tiles_pallas(
+        cs, blocks, has_uv, eye, d_tiles)
+    dirs_t = d_tiles.reshape(-1, 3)
+
+    want = trace_brute(positions, faces, eye, dirs_t)
+    np.testing.assert_array_equal(np.asarray(hit.face), np.asarray(want.face))
+    m = np.asarray(hit.hit_mask)
+    assert m.any()
+
+    n_ref = face_interpolate(normals, faces, hit.face, hit.u, hit.v)
+    np.testing.assert_allclose(np.asarray(normal)[m], np.asarray(n_ref)[m],
+                               rtol=1e-5, atol=1e-6)
+    alb_ref = scene.albedo[scene.mesh_material[faces[jnp.maximum(hit.face, 0), 3]]]
+    np.testing.assert_allclose(np.asarray(albedo)[m],
+                               np.asarray(alb_ref)[m], rtol=1e-6)
+    uv_ref = face_interpolate(uvs, faces, hit.face, hit.u, hit.v)
+    np.testing.assert_allclose(np.asarray(tex_uv)[m, 1:],
+                               np.asarray(uv_ref)[m], rtol=1e-5, atol=1e-6)
+    # tex id column: material 1 has texture 0.
+    np.testing.assert_allclose(np.asarray(tex_uv)[m, 0], 0.0)
