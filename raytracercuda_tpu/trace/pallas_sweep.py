@@ -503,7 +503,11 @@ def shade_segment_blocks(cs: ClusterSet, scene) -> tuple[jnp.ndarray, bool]:
         rows.append(jnp.zeros((c * g, 6), jnp.float32))
     flat = jnp.concatenate(rows, axis=1)  # [C*G, 28]
     flat = jnp.pad(flat, ((0, 0), (0, 4)))
-    return flat.reshape(c, g, 32).transpose(0, 2, 1), has_uv
+    # [C, G, 32]: slots ride SUBLANES, attribute columns ride lanes — the
+    # kernel computes [G, R] matrices (rays on lanes) so results land in
+    # lane-major [1, R] rows and outputs tile as [T, R] with no padding
+    # (a [N,1] output layout tile-pads 128x and OOMs VMEM).
+    return flat.reshape(c, g, 32), has_uv
 
 
 def _primary_shade_kernel(rays_per_tile: int, g: int, t_eps, has_uv: bool,
@@ -529,8 +533,8 @@ def _primary_shade_kernel(rays_per_tile: int, g: int, t_eps, has_uv: bool,
             def _():
                 dma(0, 0).start()
 
-            d = d_ref[pl.ds(b, 1)][0]  # [R,3]
-            dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+            d = d_ref[pl.ds(b, 1)][0]  # [3,R]
+            dx, dy, dz = d[0:1, :], d[1:2, :], d[2:3, :]  # [1,R]
 
             def body(r, carry):
                 bt, bs, attrs = carry[0], carry[1], carry[2:]
@@ -541,32 +545,35 @@ def _primary_shade_kernel(rays_per_tile: int, g: int, t_eps, has_uv: bool,
                     dma(1 - slot, r + 1).start()
 
                 dma(slot, r).wait()
-                blk = buf[pl.ds(slot, 1)][0]  # [32,G]
-                t, u, v = _mt_rows(blk, ox, oy, oz, dx, dy, dz, t_eps)
-                bt_blk = jnp.min(t, axis=1, keepdims=True)
-                j = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-                sel = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == j
+                blk = buf[pl.ds(slot, 1)][0]  # [G,32]: slots x attr cols
+
+                def col(k):  # [G,1] attribute column
+                    return blk[:, k:k + 1]
+
+                tri = (col(0), col(1), col(2), col(3), col(4), col(5),
+                       col(6), col(7), col(8))
+                t, u, v = _mt_cols(tri, ox, oy, oz, dx, dy, dz, t_eps)
+                # [G,R]: candidates on sublanes, rays on lanes.
+                bt_blk = jnp.min(t, axis=0, keepdims=True)  # [1,R]
+                j = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+                sel = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) == j
                 better = bt_blk < bt
 
-                def pick(x):  # [R,G] -> winner [R,1]
-                    return jnp.sum(jnp.where(sel, x, 0.0), axis=1,
+                def pick(x):  # [G,R] -> winner [1,R]
+                    return jnp.sum(jnp.where(sel, x, 0.0), axis=0,
                                    keepdims=True)
 
                 w_ = 1.0 - u - v
                 cand = [u, v]
                 for k in range(3):  # smooth normal components
-                    cand.append(blk[9 + k:10 + k, :] * w_
-                                + blk[12 + k:13 + k, :] * u
-                                + blk[15 + k:16 + k, :] * v)
+                    cand.append(col(9 + k) * w_ + col(12 + k) * u
+                                + col(15 + k) * v)
                 for k in range(3):  # per-face albedo
-                    cand.append(jnp.broadcast_to(blk[18 + k:19 + k, :],
-                                                 t.shape))
+                    cand.append(jnp.broadcast_to(col(18 + k), t.shape))
                 if has_uv:
-                    cand.append(jnp.broadcast_to(blk[21:22, :], t.shape))
-                    cand.append(blk[22:23, :] * w_ + blk[24:25, :] * u
-                                + blk[26:27, :] * v)
-                    cand.append(blk[23:24, :] * w_ + blk[25:26, :] * u
-                                + blk[27:28, :] * v)
+                    cand.append(jnp.broadcast_to(col(21), t.shape))
+                    cand.append(col(22) * w_ + col(24) * u + col(26) * v)
+                    cand.append(col(23) * w_ + col(25) * u + col(27) * v)
 
                 new_attrs = tuple(
                     jnp.where(better, pick(cx), ax)
@@ -575,19 +582,44 @@ def _primary_shade_kernel(rays_per_tile: int, g: int, t_eps, has_uv: bool,
                 return (jnp.where(better, bt_blk, bt),
                         jnp.where(better, cand_slot, bs)) + new_attrs
 
-            init = (jnp.full((R, 1), FLT_MAX, jnp.float32),
-                    jnp.zeros((R, 1), jnp.int32)) + tuple(
-                        jnp.zeros((R, 1), jnp.float32)
+            init = (jnp.full((1, R), FLT_MAX, jnp.float32),
+                    jnp.zeros((1, R), jnp.int32)) + tuple(
+                        jnp.zeros((1, R), jnp.float32)
                         for _ in range(n_out - 2))
             out = jax.lax.fori_loop(0, count, body, init)
-            row = pl.ds(b * R, R)
             for ref, val in zip(out_refs, out):
-                ref[row, :] = val
+                ref[pl.ds(b, 1), :] = val
             return 0
 
         jax.lax.fori_loop(0, B, tile_body, 0)
 
     return kernel
+
+
+def _mt_cols(tri, ox, oy, oz, dx, dy, dz, t_eps):
+    """Möller–Trumbore with candidates on SUBLANES ([G,1] columns) and
+    rays on LANES ([1,R]) -> t/u/v [G,R].  Same formula as `_mt_rows`."""
+    v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = tri
+    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv = 1.0 / det
+    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+    miss = (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
+    miss = miss | jnp.isnan(u) | jnp.isnan(v) | jnp.isnan(t)
+    t = jnp.where(miss, FLT_MAX, t)
+    if t_eps is not None:
+        t = jnp.where(t < t_eps, FLT_MAX, t)
+    return t, u, v
 
 
 def trace_shade_tiles_pallas(
@@ -621,7 +653,10 @@ def trace_shade_tiles_pallas(
 
     n_out = 13 if has_uv else 10
     w = lists.shape[2]
-    n_px = num_tiles * rays_per_tile
+    # Rays ride the LANE axis inside the kernel, so ship directions as
+    # [T, 3, R] and collect outputs as [T, R] — naturally (8,128)-tiled
+    # (the [N,1] layout tile-pads 128x and ran VMEM out of memory).
+    dt = d_tiles.transpose(0, 2, 1)
     outs = pl.pallas_call(
         _primary_shade_kernel(rays_per_tile, g, t_eps, has_uv, b),
         grid=(num_tiles // b,),
@@ -631,29 +666,31 @@ def trace_shade_tiles_pallas(
             pl.BlockSpec((b, 1, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # eye [3]
-            pl.BlockSpec((b, rays_per_tile, 3), lambda t: (t, 0, 0),
+            pl.BlockSpec((b, 3, rays_per_tile), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=tuple(
-            pl.BlockSpec((b * rays_per_tile, 1), lambda t: (t, 0),
+            pl.BlockSpec((b, rays_per_tile), lambda t: (t, 0),
                          memory_space=pltpu.VMEM) for _ in range(n_out)),
         out_shape=tuple(
             jax.ShapeDtypeStruct(
-                (n_px, 1), jnp.int32 if i == 1 else jnp.float32)
+                (num_tiles, rays_per_tile),
+                jnp.int32 if i == 1 else jnp.float32)
             for i in range(n_out)),
         scratch_shapes=[
-            pltpu.VMEM((2, 32, g), jnp.float32),
+            pltpu.VMEM((2, g, 32), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret_mode(),
-    )(lists, counts, eye.astype(jnp.float32), d_tiles, shade_blocks)
+    )(lists, counts, eye.astype(jnp.float32), dt, shade_blocks)
 
-    bt, bs, bu, bv = outs[0][:, 0], outs[1][:, 0], outs[2][:, 0], outs[3][:, 0]
-    normal = jnp.concatenate([outs[4], outs[5], outs[6]], axis=1)
-    albedo = jnp.concatenate([outs[7], outs[8], outs[9]], axis=1)
-    tex_uv = jnp.concatenate([outs[10], outs[11], outs[12]],
-                             axis=1) if has_uv else None
+    outs = [o.reshape(-1) for o in outs]
+    bt, bs, bu, bv = outs[0], outs[1], outs[2], outs[3]
+    normal = jnp.stack([outs[4], outs[5], outs[6]], axis=1)
+    albedo = jnp.stack([outs[7], outs[8], outs[9]], axis=1)
+    tex_uv = jnp.stack([outs[10], outs[11], outs[12]],
+                       axis=1) if has_uv else None
     hit = Hit(
         t=jnp.where(bt < FLT_MAX, bt, FLT_MAX),
         u=bu, v=bv,
