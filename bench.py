@@ -43,7 +43,8 @@ def main() -> None:
     from raytracercuda_tpu.ops.math import normalize
     from raytracercuda_tpu.trace.dense import tile_pixels, untile_pixels
     from raytracercuda_tpu.trace.pallas_sweep import (
-        occlusion_tiles_pallas, shade_segment_blocks, trace_shade_tiles_pallas)
+        occlusion_tiles_pallas, segment_blocks, shade_segment_blocks,
+        trace_shade_tiles_pallas)
     from raytracercuda_tpu.trace.pipeline import rotate_rays
     from raytracercuda_tpu.trace.shade import pack_shaded
     from raytracercuda_tpu.utils import content
@@ -74,8 +75,9 @@ def main() -> None:
     # measured-fastest traversal: see MEASUREMENTS.md / pallas_sweep.py).
     accel = build_clusters(data.positions, data.faces,
                            ClusterConfig(cluster_size=128))
-    blocks, has_uv = shade_segment_blocks(accel, data)
-    jax.block_until_ready((accel, blocks))
+    blocks, has_uv = shade_segment_blocks(accel, data)  # [C,G,128] fused
+    occ_blocks = segment_blocks(accel)  # [C,16,G] corners-only (occlusion)
+    jax.block_until_ready((accel, blocks, occ_blocks))
     # Shadow-ray offset scaled to the scene, not hardcoded: push the origin
     # toward the light far enough to clear the surface at float precision.
     shadow_eps = jnp.float32(config.trace.t_epsilon * extent)
@@ -107,13 +109,13 @@ def main() -> None:
                                         d_tiles, **kw)
 
     @jax.jit
-    def shadow_pass(accel, blocks, hit_t, hit_mask, origin, d_tiles):
+    def shadow_pass(accel, occ_blocks, hit_t, hit_mask, origin, d_tiles):
         dirs_flat = d_tiles.reshape(-1, 3)
         p = origin + dirs_flat * jnp.minimum(hit_t, 1e6)[..., None]
         so = jnp.where(hit_mask[..., None], p, origin) + light * shadow_eps
         t = d_tiles.shape[0]
         return occlusion_tiles_pallas(
-            accel, blocks, so.reshape(t, TP * TP, 3),
+            accel, occ_blocks, so.reshape(t, TP * TP, 3),
             light, hit_mask.reshape(t, TP * TP), **kw)
 
     @jax.jit
@@ -135,7 +137,7 @@ def main() -> None:
     def frame(scene, accel, rays, eye, orient):
         d_tiles, origin = prep(rays, eye, orient)
         hit, normal, albedo, _ = trace(accel, blocks, eye, d_tiles)
-        shadow = shadow_pass(accel, blocks, hit.t, hit.hit_mask, origin,
+        shadow = shadow_pass(accel, occ_blocks, hit.t, hit.hit_mask, origin,
                              d_tiles)
         return shade(hit, normal, albedo, d_tiles, shadow)
 

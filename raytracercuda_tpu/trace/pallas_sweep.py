@@ -476,9 +476,13 @@ def occlusion_dense_pallas(
 
 
 def shade_segment_blocks(cs: ClusterSet, scene) -> tuple[jnp.ndarray, bool]:
-    """``[C, 32, G]`` fused blocks: rows 0-8 corners, 9-17 vertex normals,
-    18-20 per-face albedo, 21 tex id, 22-27 vertex uvs (zeros when the
-    scene has none).  Built once per scene."""
+    """``[C, G, 128]`` fused blocks: attribute columns 0-8 corners, 9-17
+    vertex normals, 18-20 per-face albedo, 21 tex id, 22-27 vertex uvs
+    (zeros when the scene has none); columns 28-127 zero-pad the LANE dim
+    to the 128 tile so the per-segment HBM->VMEM DMA slices a full lane
+    tile (Mosaic rejects 32-lane slices of a 128-tiled memref — the r2
+    bench failure).  The 4x DMA padding costs ~0.4 ms/frame at bunny
+    scale, measured noise next to the sweep.  Built once per scene."""
     from ..models.mesh import VERTEX_DATA_NORMAL, VERTEX_DATA_UV1
 
     c, g = cs.num_clusters, cs.cluster_size
@@ -502,12 +506,12 @@ def shade_segment_blocks(cs: ClusterSet, scene) -> tuple[jnp.ndarray, bool]:
     else:
         rows.append(jnp.zeros((c * g, 6), jnp.float32))
     flat = jnp.concatenate(rows, axis=1)  # [C*G, 28]
-    flat = jnp.pad(flat, ((0, 0), (0, 4)))
-    # [C, G, 32]: slots ride SUBLANES, attribute columns ride lanes — the
+    flat = jnp.pad(flat, ((0, 0), (0, 128 - flat.shape[1])))
+    # [C, G, 128]: slots ride SUBLANES, attribute columns ride lanes — the
     # kernel computes [G, R] matrices (rays on lanes) so results land in
     # lane-major [1, R] rows and outputs tile as [T, R] with no padding
-    # (a [N,1] output layout tile-pads 128x and OOMs VMEM).
-    return flat.reshape(c, g, 32), has_uv
+    # (a [N,1] output layout tile-pads 128x and OOMs the ~16 MB VMEM).
+    return flat.reshape(c, g, 128), has_uv
 
 
 def _primary_shade_kernel(rays_per_tile: int, g: int, t_eps, has_uv: bool,
@@ -545,7 +549,7 @@ def _primary_shade_kernel(rays_per_tile: int, g: int, t_eps, has_uv: bool,
                     dma(1 - slot, r + 1).start()
 
                 dma(slot, r).wait()
-                blk = buf[pl.ds(slot, 1)][0]  # [G,32]: slots x attr cols
+                blk = buf[pl.ds(slot, 1)][0]  # [G,128]: slots x attr cols
 
                 def col(k):  # [G,1] attribute column
                     return blk[:, k:k + 1]
@@ -679,7 +683,7 @@ def trace_shade_tiles_pallas(
                 jnp.int32 if i == 1 else jnp.float32)
             for i in range(n_out)),
         scratch_shapes=[
-            pltpu.VMEM((2, g, 32), jnp.float32),
+            pltpu.VMEM((2, g, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret_mode(),

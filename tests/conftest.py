@@ -14,16 +14,30 @@ updated after import, before any backend touch.
 import os
 import sys
 
+_ONCHIP = os.environ.get("RT_ONCHIP") == "1"
+
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if not _ONCHIP and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu"
-assert len(jax.devices()) == 8
+if _ONCHIP:
+    # On-chip tier (`RT_ONCHIP=1 pytest tests -m onchip`): keep whatever
+    # real accelerator the environment provides so every Pallas kernel
+    # compiles under Mosaic instead of the interpreter — the structural
+    # fix for two rounds of final commits shipping uncompiled kernels.
+    # Persist executables: the remote-compile tunnel costs minutes.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+else:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu"
+    assert len(jax.devices()) == 8
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
