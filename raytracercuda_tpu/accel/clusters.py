@@ -65,6 +65,11 @@ class ClusterSet(NamedTuple):
     normal: jnp.ndarray
     #: [C*L] int32 — original face id per sorted slot (-1 for padding).
     face_order: jnp.ndarray
+    #: [C, 16, L] float32 or None — component-major corner blocks for the
+    #: Pallas tile-sweep kernels (`pallas_sweep.segment_blocks` layout),
+    #: cached here when L is lane-aligned so frames never rebuild them
+    #: (r2 advisor finding: the pipeline re-materialized them per trace).
+    tri_blocks: jnp.ndarray | None = None
 
     @property
     def num_clusters(self) -> int:
@@ -125,8 +130,11 @@ def build_clusters(
     cmax = padded(tri_max[order], -jnp.inf).reshape(num_clusters, L, 3).max(axis=1)
 
     tris = jnp.concatenate([sv0, sv1, sv2], axis=-1)
+    tri_blocks = None
+    if L % 128 == 0:  # lane-aligned: cache the Pallas kernel operand
+        tri_blocks = jnp.pad(tris.transpose(0, 2, 1), ((0, 0), (0, 7), (0, 0)))
     return ClusterSet(cmin=cmin, cmax=cmax, tris=tris, normal=normal,
-                      face_order=face_order)
+                      face_order=face_order, tri_blocks=tri_blocks)
 
 
 # ---------------------------------------------------------------------------

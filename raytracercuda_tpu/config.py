@@ -72,8 +72,11 @@ class ClusterConfig:
 
     #: Morton-consecutive triangles per cluster.  The dense sweep tests
     #: whole clusters, so this is the work granularity: smaller = tighter
-    #: culling, larger = fewer/cheaper bookkeeping rows.
-    cluster_size: int = 16
+    #: culling, larger = fewer/cheaper bookkeeping rows.  128 keeps the
+    #: segments lane-aligned for the Pallas tile-sweep kernels — the
+    #: product fast path on TPU (`trace/pallas_sweep.py`); 16 was the
+    #: XLA-dense sweet spot and remains available for experiments.
+    cluster_size: int = 128
     #: Morton quantization bits per axis.
     morton_bits: int = 10
 
@@ -152,8 +155,11 @@ class TraceConfig:
     #: Route pinhole frames through the Pallas tile-sweep kernel
     #: (`trace/pallas_sweep.py`) instead of the XLA dense sweep.  Requires
     #: ClusterConfig.cluster_size to be a multiple of 128 (lane-aligned
-    #: segments); ignored otherwise.
-    use_pallas_sweep: bool = False
+    #: segments); ignored otherwise.  ``None`` (default) = auto: the
+    #: kernel on TPU (Mosaic), the XLA dense path elsewhere; ``True``
+    #: forces the kernel even off-TPU (Pallas interpret mode — how the
+    #: CPU suite covers kernel semantics).
+    use_pallas_sweep: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -299,7 +299,7 @@ def trace_tiles_pallas(
             jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, g), jnp.float32),
+            pltpu.VMEM((2, tri_blocks.shape[1], g), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret_mode(),
@@ -428,7 +428,7 @@ def occlusion_tiles_pallas(
         out_shape=jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1),
                                        jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, g), jnp.float32),
+            pltpu.VMEM((2, tri_blocks.shape[1], g), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret_mode(),

@@ -52,11 +52,15 @@ def trace_hit(
             and frame_hw[0] % tc.dense_tile_px == 0
             and frame_hw[1] % tc.dense_tile_px == 0
         ):
-            if tc.use_pallas_sweep and accel.cluster_size % 128 == 0:
+            from .frame import use_pallas
+
+            if use_pallas(config, accel.cluster_size):
                 from .pallas_sweep import segment_blocks, trace_dense_pallas
 
+                blocks = (accel.tri_blocks if accel.tri_blocks is not None
+                          else segment_blocks(accel))
                 return trace_dense_pallas(
-                    accel, segment_blocks(accel), common_origin, direction,
+                    accel, blocks, common_origin, direction,
                     height=frame_hw[0], width=frame_hw[1],
                     tile_px=tc.dense_tile_px, trace_cfg=tc,
                 )
