@@ -152,6 +152,13 @@ class TraceConfig:
     #: Cluster-column chunk for the [tiles x clusters] cull/sort rectangle;
     #: scenes with more clusters run multiple exact passes.
     dense_cluster_chunk: int = 8192
+    #: One-hot compaction width for the per-tile survivor lists feeding
+    #: the Pallas sweep kernels: ranks < this take the cheap one-hot
+    #: matmul (its [tiles, segments, width] intermediate scales linearly
+    #: in the width); any frame where some tile exceeds it falls back to
+    #: the exact full-width sort (lax.cond, one branch runs).  32 covers
+    #: every measured frame at 128-triangle segments (bunny max ~20).
+    sweep_list_width: int = 32
     #: Route pinhole frames through the Pallas tile-sweep kernel
     #: (`trace/pallas_sweep.py`) instead of the XLA dense sweep.  Requires
     #: ClusterConfig.cluster_size to be a multiple of 128 (lane-aligned

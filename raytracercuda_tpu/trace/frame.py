@@ -69,6 +69,7 @@ class FrameRenderer:
         ambient: float = 0.08,
         background=(0.0, 1.0, 0.0),
         shadows: bool = True,
+        single_dispatch: bool = False,
     ):
         self.scene = scene
         self.accel = accel
@@ -77,6 +78,7 @@ class FrameRenderer:
         self.ambient = float(ambient)
         self.background = jnp.asarray(background, jnp.float32)
         self.shadows = shadows
+        self.single_dispatch = single_dispatch
         self.light = normalize(jnp.asarray(light_dir, jnp.float32))
         lo = scene.positions.min(axis=0)
         hi = scene.positions.max(axis=0)
@@ -102,8 +104,7 @@ class FrameRenderer:
 
     # ---------------- Pallas path (two stages) ----------------
 
-    @partial(jax.jit, static_argnums=0)
-    def _stage_trace(self, accel, blocks, rays, eye, orient):
+    def _trace_impl(self, accel, blocks, rays, eye, orient):
         from .pallas_sweep import trace_shade_tiles_pallas
         from .pipeline import rotate_rays
 
@@ -114,40 +115,39 @@ class FrameRenderer:
             tile_px=self.tile_px, trace_cfg=self.config.trace)
         return d_tiles, hit, normal, albedo, tex_uv
 
-    @partial(jax.jit, static_argnums=0)
-    def _stage_shadow_shade(self, accel, occ_blocks, textures, eye, d_tiles,
-                            hit, normal, albedo, tex_uv):
+    def _shadow_shade_impl(self, accel, occ_blocks, textures, eye, d_tiles,
+                           hit, normal, albedo, tex_uv):
         from .pallas_sweep import occlusion_tiles_pallas
 
         tp = self.tile_px
         t = d_tiles.shape[0]
         dirs_flat = d_tiles.reshape(-1, 3)
+        n = normalize(normal, eps=1e-30)
+        flip = jnp.sum(n * dirs_flat, axis=-1) > 0.0
+        n = jnp.where(flip[..., None], -n, n)
+        ndotl = jnp.maximum(jnp.sum(n * self.light, axis=-1), 0.0)
         if self.shadows:
+            # Shadow rays only where they can change the pixel: surfaces
+            # facing away from the light (ndotl == 0) shade to ambient
+            # with or without occlusion.  This also tightens each tile's
+            # swept hit box, shrinking the occlusion survivor lists.
+            active = hit.hit_mask & (ndotl > 0.0)
             p = eye[None, :] + dirs_flat * jnp.minimum(hit.t, 1e6)[..., None]
-            so = (jnp.where(hit.hit_mask[..., None], p, eye[None, :])
+            so = (jnp.where(active[..., None], p, eye[None, :])
                   + self.light * self.shadow_eps)
             shadow = occlusion_tiles_pallas(
                 accel, occ_blocks, so.reshape(t, tp * tp, 3), self.light,
-                hit.hit_mask.reshape(t, tp * tp), tile_px=tp,
+                active.reshape(t, tp * tp), tile_px=tp,
                 trace_cfg=self.config.trace)
-        else:
-            shadow = None
-        rgb = self._shade(hit, normal, albedo, tex_uv, dirs_flat, shadow,
-                          textures)
+            ndotl = jnp.where(shadow, 0.0, ndotl)
+        rgb = self._shade_lit(hit, ndotl, albedo, tex_uv, textures)
         from .shade import pack_shaded
 
         packed = pack_shaded(rgb)
         return untile_pixels(packed.reshape(t, tp * tp), self.height,
                              self.width, tp)
 
-    def _shade(self, hit, normal, albedo, tex_uv, dirs_flat, shadow,
-               textures):
-        n = normalize(normal, eps=1e-30)
-        flip = jnp.sum(n * dirs_flat, axis=-1) > 0.0
-        n = jnp.where(flip[..., None], -n, n)
-        ndotl = jnp.maximum(jnp.sum(n * self.light, axis=-1), 0.0)
-        if shadow is not None:
-            ndotl = jnp.where(shadow & hit.hit_mask, 0.0, ndotl)
+    def _shade_lit(self, hit, ndotl, albedo, tex_uv, textures):
         if tex_uv is not None and textures.shape[0] > 0:
             from .shade import sample_texture
 
@@ -158,6 +158,29 @@ class FrameRenderer:
                                albedo)
         rgb = albedo * (self.ambient + (1.0 - self.ambient) * ndotl)[..., None]
         return jnp.where(hit.hit_mask[..., None], rgb, self.background)
+
+    @partial(jax.jit, static_argnums=0)
+    def _stage_trace(self, accel, blocks, rays, eye, orient):
+        return self._trace_impl(accel, blocks, rays, eye, orient)
+
+    @partial(jax.jit, static_argnums=0)
+    def _stage_shadow_shade(self, accel, occ_blocks, textures, eye, d_tiles,
+                            hit, normal, albedo, tex_uv):
+        return self._shadow_shade_impl(accel, occ_blocks, textures, eye,
+                                       d_tiles, hit, normal, albedo, tex_uv)
+
+    @partial(jax.jit, static_argnums=0)
+    def _frame_pallas(self, accel, blocks, occ_blocks, textures, rays, eye,
+                      orient):
+        """Both stages in one program.  Measured SLOWER than two stages
+        on the bunny frame (11.3 vs 9.7 ms): back-to-back frames pipeline
+        across the two-program boundary, which one big program cannot.
+        Kept for callers that need the frame as a single jittable unit
+        (e.g. sharding the whole frame under one shard_map)."""
+        d_tiles, hit, normal, albedo, tex_uv = self._trace_impl(
+            accel, blocks, rays, eye, orient)
+        return self._shadow_shade_impl(accel, occ_blocks, textures, eye,
+                                       d_tiles, hit, normal, albedo, tex_uv)
 
     # ---------------- XLA dense fallback (one stage) ----------------
 
@@ -210,6 +233,11 @@ class FrameRenderer:
         ``rays``: the precomputed pinhole ray grid (`camera_ray_grid`),
         row-major ``[H*W, 3]``."""
         if self.pallas:
+            if self.single_dispatch:
+                return self._frame_pallas(self.accel, self.blocks,
+                                          self.occ_blocks,
+                                          self.scene.textures, rays, eye,
+                                          orient)
             d_tiles, hit, normal, albedo, tex_uv = self._stage_trace(
                 self.accel, self.blocks, rays, eye, orient)
             return self._stage_shadow_shade(self.accel, self.occ_blocks,

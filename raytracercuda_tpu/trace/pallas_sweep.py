@@ -204,7 +204,7 @@ def _occlusion_kernel(rays_per_tile: int, g: int, t_eps: float,
     return kernel
 
 
-def _tile_lists(survive, num_segments, max_w: int = 128):
+def _tile_lists(survive, num_segments, max_w: int = 32):
     """Compact the [T,S] cull mask into sorted per-tile segment lists.
 
     Fast path: one-hot MATMUL compaction — ``lists[t,r] = Σ_s E[t,s,r]·s``
@@ -266,7 +266,7 @@ def trace_tiles_pallas(
 
     planes = tile_frustum_planes(d_tiles, tile_px)
     survive = _cull_frustum(planes, eye, cs.cmin, cs.cmax)  # [T,S]
-    lists, counts = _tile_lists(survive, s)
+    lists, counts = _tile_lists(survive, s, trace_cfg.sweep_list_width)
     num_tiles = d_tiles.shape[0]
     b = tiles_per_program
     while num_tiles % b:
@@ -402,7 +402,7 @@ def occlusion_tiles_pallas(
         & (cv_hi[None, :] >= ov_lo[:, None]) & (cv_lo[None, :] <= ov_hi[:, None])
         & (cl_hi[None, :] >= ol_lo[:, None])
     )
-    lists, counts = _tile_lists(survive, s)
+    lists, counts = _tile_lists(survive, s, trace_cfg.sweep_list_width)
 
     w = lists.shape[2]
     b = tiles_per_program
@@ -649,7 +649,7 @@ def trace_shade_tiles_pallas(
 
     planes = tile_frustum_planes(d_tiles, tile_px)
     survive = _cull_frustum(planes, eye, cs.cmin, cs.cmax)
-    lists, counts = _tile_lists(survive, s)
+    lists, counts = _tile_lists(survive, s, trace_cfg.sweep_list_width)
     num_tiles = d_tiles.shape[0]
     b = tiles_per_program
     while num_tiles % b:
