@@ -74,11 +74,22 @@ def initialize_distributed(
     )
     if not configured:
         return False
-    if jax._src.distributed.global_state.client is not None:  # already up
+    try:  # public API where available (jax >= 0.4.34)
+        already_up = jax.distributed.is_initialized()
+    except AttributeError:
+        already_up = getattr(
+            getattr(getattr(jax, "_src", None), "distributed", None),
+            "global_state", None) is not None and \
+            jax._src.distributed.global_state.client is not None
+    if already_up:
         return True
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # racing init: treat 'already initialized' as up
+        if "already initialized" not in str(e):
+            raise
     return True

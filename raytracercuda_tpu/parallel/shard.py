@@ -168,3 +168,108 @@ def make_train_step(config: RenderConfig, mesh: Mesh, optimizer=None,
         )(params, opt_state, scene, accel, rays, eye, orient, target)
 
     return step, optimizer
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "mesh", "height", "width", "num_bounces",
+                     "with_shadows"),
+)
+def render_bounces_sharded(
+    cs,
+    scene: SceneData,
+    eye: jnp.ndarray,
+    dirs: jnp.ndarray,
+    height: int,
+    width: int,
+    config: RenderConfig,
+    mesh: Mesh,
+    num_bounces: int = 2,
+    light_dir=(0.4, 0.8, -0.45),
+    with_shadows: bool = True,
+    background=(0.0, 1.0, 0.0),
+) -> jnp.ndarray:
+    """Multi-bounce pinhole frame with rays sharded as pixel bands.
+
+    BASELINE config #5's shape: every bounce (primary dense trace,
+    shadow pass, per-bounce compaction and re-dispatch) runs per shard
+    with the scene+accel replicated — bounce rays scatter arbitrarily, so
+    keeping them on their home chip costs no communication at all, while
+    re-sharding them by direction would.  Reference precedent for the
+    re-dispatch loop: the wavefront queues of `Trace2.cu:69-176`.
+    """
+    from ..trace.bounce import render_bounces
+
+    n = mesh.devices.size
+    assert height % n == 0, f"frame height {height} not divisible by {n}"
+    local_h = height // n
+
+    def local(cs, scene, eye, dirs_shard):
+        return render_bounces(
+            cs, scene, eye, dirs_shard, local_h, width, config,
+            num_bounces=num_bounces, light_dir=light_dir,
+            with_shadows=with_shadows, background=background)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(_spec_like(cs, P()), _spec_like(scene, P()), P(),
+                  P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )(cs, scene, eye, dirs)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "config", "mesh", "shading",
+                     "with_shadows", "zoom"),
+)
+def progressive_step_sharded(
+    state,
+    scene: SceneData,
+    accel,
+    eye: jnp.ndarray,
+    orient: jnp.ndarray,
+    width: int,
+    height: int,
+    config: RenderConfig,
+    mesh: Mesh,
+    shading: str = "lambert",
+    with_shadows: bool = False,
+    zoom: float = 1.0,
+):
+    """One sharded progressive-accumulation step (pixel-band DP).
+
+    Per-shard accumulation order is fixed (each band only ever adds its
+    own samples), so results stay BIT-IDENTICAL to the single-device
+    `progressive_step` — the reproducibility SceneProgressive's streaming
+    design needed (`SceneProgressive.cpp:27-77`, SURVEY §7 hard part 5).
+    """
+    from ..trace.progressive import (ProgressiveState, halton,
+                                     jittered_ray_grid)
+
+    sample = state.count
+    jx = halton(sample + 1, 2)
+    jy = halton(sample + 1, 3)
+    rays = jittered_ray_grid(width, height, jx, jy, zoom=zoom)
+    n = mesh.devices.size
+    assert height % n == 0
+    local_h = height // n
+
+    def local(scene, accel, rays_shard, eye, orient, accum_shard):
+        rgb = render_rgb(
+            scene, accel, rays_shard, eye, orient, config,
+            shading=shading, with_shadows=with_shadows,
+            frame_hw=(local_h, width))
+        return accum_shard + rgb
+
+    accum = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(_spec_like(scene, P()), _spec_like(accel, P()),
+                  P(RAY_AXIS), P(), P(), P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )(scene, accel, rays, eye, orient, state.accum)
+    return ProgressiveState(accum=accum, count=state.count + 1)

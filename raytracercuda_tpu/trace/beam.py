@@ -357,32 +357,10 @@ def occlusion_beam(
     o_tiles = tile_major(origins.reshape(height, width, 3))
     a_tiles = tile_major(active.reshape(height, width))
 
-    big = jnp.float32(3.0e37)
-    o_masked_min = jnp.where(a_tiles[..., None], o_tiles, big)
-    o_masked_max = jnp.where(a_tiles[..., None], o_tiles, -big)
-    obox_min = jnp.min(o_masked_min, axis=1)  # [T,3]
-    obox_max = jnp.max(o_masked_max, axis=1)
-    tile_any = jnp.any(a_tiles, axis=1)  # [T]
+    from .occlusion_cull import beam_cannot_occlude, swept_tile_beams
 
-    # Orthobasis perpendicular to the light.
-    l = light_dir / jnp.linalg.norm(light_dir)
-    helper = jnp.where(jnp.abs(l[0]) < 0.9,
-                       jnp.array([1.0, 0.0, 0.0], jnp.float32),
-                       jnp.array([0.0, 1.0, 0.0], jnp.float32))
-    u = jnp.cross(l, helper)
-    u = u / jnp.linalg.norm(u)
-    v = jnp.cross(l, u)
-
-    def proj_interval(axis, bmin, bmax):
-        c = (bmin + bmax) * 0.5
-        h = (bmax - bmin) * 0.5
-        pc = c @ axis
-        ph = h @ jnp.abs(axis)
-        return pc - ph, pc + ph
-
-    ou_lo, ou_hi = proj_interval(u, obox_min, obox_max)  # [T]
-    ov_lo, ov_hi = proj_interval(v, obox_min, obox_max)
-    ol_lo, _ = proj_interval(l, obox_min, obox_max)
+    beam = swept_tile_beams(o_tiles, a_tiles, light_dir)
+    l = beam.l
 
     t_eps = jnp.float32(trace_cfg.t_epsilon)
     k_leaf = cfg.max_leaf_faces
@@ -390,13 +368,7 @@ def occlusion_beam(
 
     def cull(bmin, bmax):
         """True where the node CANNOT occlude any ray of the tile."""
-        nu_lo, nu_hi = proj_interval(u, bmin, bmax)
-        nv_lo, nv_hi = proj_interval(v, bmin, bmax)
-        _, nl_hi = proj_interval(l, bmin, bmax)
-        miss_u = (nu_hi < ou_lo) | (nu_lo > ou_hi)
-        miss_v = (nv_hi < ov_lo) | (nv_lo > ov_hi)
-        behind = nl_hi < ol_lo
-        return miss_u | miss_v | behind | ~tile_any
+        return beam_cannot_occlude(beam, bmin, bmax)
 
     def walk_round(cur):
         q_first = jnp.zeros((num_tiles, queue), jnp.int32)
@@ -495,7 +467,7 @@ def occlusion_beam(
         return occ_out.reshape((-1, rays_per_tile))[:num_tiles]
 
     occ = jnp.zeros((num_tiles, rays_per_tile), bool)
-    cur = jnp.where(tile_any, 0, -1).astype(jnp.int32)
+    cur = jnp.where(beam.tile_any, 0, -1).astype(jnp.int32)
 
     def round_cond(state):
         cur, _ = state

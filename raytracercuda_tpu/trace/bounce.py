@@ -123,8 +123,10 @@ def render_bounces(
     rgb = shade_lambert_rgb(scene, hit, origin, dirs, light_dir=light_dir,
                             shadow_mask=shadow, background=background)
     refl = _hit_reflectivity(scene, hit)
-    # Remove the background the base shade already placed on misses —
-    # bounce accounting re-adds background along surviving throughput.
+    # Additive mirror-term model: the full primary Lambert stays and each
+    # bounce ADDS refl-scaled radiance (bounce misses add refl*background
+    # on top of the primary shade).  The brute-path oracle shares this
+    # control flow, so parity tests compare like for like.
     throughput = refl[..., None]
     o, d = _bounce_geometry(scene, hit, origin, dirs, eps)
     active = hit.hit_mask & (refl > 0.0)

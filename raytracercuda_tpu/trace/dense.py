@@ -406,7 +406,12 @@ def trace_clusters_rays(
     def ray_chunk_fn(args):
         o_c, d_c, act_c = args
         rc = o_c.shape[0]
-        inv = 1.0 / d_c
+        # NaN-robust slab form: a zero direction component with the origin
+        # exactly on a box plane gives 0*inf = NaN, which would make
+        # `enters` False and break the conservative-cull contract; a huge
+        # finite inverse keeps the parallel-ray semantics instead (same
+        # guard as `ops/math.box_ray_intersect`).
+        inv = jnp.where(d_c == 0.0, 3.0e37, 1.0 / d_c)
         bt = jnp.full((rc,), FLT_MAX, jnp.float32)
         bslot = jnp.zeros((rc,), jnp.int32)
 
@@ -526,44 +531,17 @@ def occlusion_dense(
     num_tiles = o_tiles.shape[0]
     t_eps = float(trace_cfg.t_epsilon)
 
-    big = jnp.float32(3.0e37)
-    omin = jnp.min(jnp.where(a_tiles[..., None], o_tiles, big), axis=1)
-    omax = jnp.max(jnp.where(a_tiles[..., None], o_tiles, -big), axis=1)
-    tile_any = jnp.any(a_tiles, axis=1)
+    from .occlusion_cull import beam_survive_matrix, swept_tile_beams
 
-    l = light_dir / jnp.linalg.norm(light_dir)
-    helper = jnp.where(jnp.abs(l[0]) < 0.9,
-                       jnp.array([1.0, 0.0, 0.0], jnp.float32),
-                       jnp.array([0.0, 1.0, 0.0], jnp.float32))
-    u_ax = jnp.cross(l, helper)
-    u_ax = u_ax / jnp.linalg.norm(u_ax)
-    v_ax = jnp.cross(l, u_ax)
-
-    def interval(boxmin, boxmax, axis):
-        c = (boxmin + boxmax) * 0.5
-        h = (boxmax - boxmin) * 0.5
-        pc = c @ axis
-        ph = h @ jnp.abs(axis)
-        return pc - ph, pc + ph
-
-    ou_lo, ou_hi = interval(omin, omax, u_ax)  # [T]
-    ov_lo, ov_hi = interval(omin, omax, v_ax)
-    ol_lo, _ = interval(omin, omax, l)
+    beam = swept_tile_beams(o_tiles, a_tiles, light_dir)
+    l = beam.l
 
     dc = direction_consts(cs, l)
     occluded = jnp.zeros_like(a_tiles)
 
     for c0 in range(0, C, cluster_chunk):
         c1 = min(C, c0 + cluster_chunk)
-        cu_lo, cu_hi = interval(cs.cmin[c0:c1], cs.cmax[c0:c1], u_ax)  # [Cc]
-        cv_lo, cv_hi = interval(cs.cmin[c0:c1], cs.cmax[c0:c1], v_ax)
-        _, cl_hi = interval(cs.cmin[c0:c1], cs.cmax[c0:c1], l)
-        survive = (
-            tile_any[:, None]
-            & (cu_hi[None, :] >= ou_lo[:, None]) & (cu_lo[None, :] <= ou_hi[:, None])
-            & (cv_hi[None, :] >= ov_lo[:, None]) & (cv_lo[None, :] <= ov_hi[:, None])
-            & (cl_hi[None, :] >= ol_lo[:, None])
-        )
+        survive = beam_survive_matrix(beam, cs.cmin[c0:c1], cs.cmax[c0:c1])
         lists, counts = _compact(survive, round_k)
         dc_chunk = jax.tree_util.tree_map(lambda x: x[c0:c1], dc)
         perm = jnp.argsort(counts)
