@@ -65,7 +65,7 @@ class ClusterSet(NamedTuple):
     normal: jnp.ndarray
     #: [C*L] int32 — original face id per sorted slot (-1 for padding).
     face_order: jnp.ndarray
-    #: [C, 16, L] float32 or None — component-major corner blocks for the
+    #: [C, 16, L] float32 or None — component-major v0|e1|e2 blocks for the
     #: Pallas tile-sweep kernels (`pallas_sweep.segment_blocks` layout),
     #: cached here when L is lane-aligned so frames never rebuild them
     #: (r2 advisor finding: the pipeline re-materialized them per trace).
@@ -132,7 +132,9 @@ def build_clusters(
     tris = jnp.concatenate([sv0, sv1, sv2], axis=-1)
     tri_blocks = None
     if L % 128 == 0:  # lane-aligned: cache the Pallas kernel operand
-        tri_blocks = jnp.pad(tris.transpose(0, 2, 1), ((0, 0), (0, 7), (0, 0)))
+        edges = jnp.concatenate([sv0, sv1 - sv0, sv2 - sv0], axis=-1)
+        tri_blocks = jnp.pad(edges.transpose(0, 2, 1),
+                             ((0, 0), (0, 7), (0, 0)))
     return ClusterSet(cmin=cmin, cmax=cmax, tris=tris, normal=normal,
                       face_order=face_order, tri_blocks=tri_blocks)
 

@@ -86,6 +86,19 @@ def main(argv=None) -> int:
 
     os.makedirs(args.out, exist_ok=True)
     shading = args.shading
+
+    # Product fast path: cluster accel + lambert shading renders through
+    # FrameRenderer — the same staged frame bench.py measures (fused
+    # Pallas kernels on TPU, XLA dense elsewhere).
+    renderer = None
+    if (args.accel == "cluster" and shading != "parity"
+            and args.size % config.trace.dense_tile_px == 0):
+        from raytracercuda_tpu.trace.frame import FrameRenderer
+
+        renderer = FrameRenderer(
+            data, scene.accel, config, args.size, args.size,
+            shadows=(shading == "lambert-shadow"))
+
     for frame in range(args.frames):
         pan = args.pan + np.deg2rad(args.orbit) * frame
         orient = orient_from_pan_pitch(pan, args.pitch)
@@ -94,6 +107,11 @@ def main(argv=None) -> int:
                 err = cam.trace_scene(eye, orient, scene, rt)
                 assert err == 0, f"trace error {err}"
                 buf = np.asarray(rt.buffer)
+        elif renderer is not None:
+            with prof.phase("Trace"):
+                buf = np.asarray(renderer.render(
+                    jnp.asarray(eye), jnp.asarray(orient),
+                    cam.initial_rays))
         else:
             from raytracercuda_tpu.diff.render_grad import render_rgb
             from raytracercuda_tpu.trace.shade import pack_shaded

@@ -41,6 +41,7 @@ from ..accel.clusters import ClusterSet
 from ..config import TraceConfig
 from ..ops.pallas_util import interpret_mode
 from ..types import FLT_MAX, Hit
+from .occlusion_cull import beam_survive_matrix, swept_tile_beams
 from .dense import (
     _CULLED,
     _compact,
@@ -52,21 +53,25 @@ from .dense import (
 
 
 def segment_blocks(cs: ClusterSet) -> jnp.ndarray:
-    """``[C, 16, G]`` component-major triangle blocks (9 rows: v0|v1|v2
-    xyz; 7 zero rows pad the sublane tile).  Built once per scene —
-    unlike the XLA path's per-frame MT constants, the kernel works from
-    raw corners (the eye folds in as a scalar)."""
-    t = cs.tris.transpose(0, 2, 1)  # [C, 9, G]
+    """``[C, 16, G]`` component-major triangle blocks (9 rows: v0|e1|e2
+    xyz with e1 = v1-v0, e2 = v2-v0; 7 zero rows pad the sublane tile).
+    Built once per scene.  The edges are precomputed HOST-side — the same
+    f32 subtraction the kernel would do, so results are bit-identical to
+    the oracle's `tri_intersect`, minus 6 VPU ops per sweep round."""
+    v0 = cs.tris[..., 0:3]
+    e = jnp.concatenate([v0, cs.tris[..., 3:6] - v0, cs.tris[..., 6:9] - v0],
+                        axis=-1)
+    t = e.transpose(0, 2, 1)  # [C, 9, G]
     return jnp.pad(t, ((0, 0), (0, 7), (0, 0)))
 
 
 def _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps):
-    """MT of rays (scalar o, [R,1] d) against a [16,G] block -> t [R,G].
-
-    Mirrors `ops/math.tri_intersect` term for term."""
+    """MT of rays (scalar o, [R,1] d) against a [16,G] v0|e1|e2 block ->
+    t [R,G].  Mirrors `ops/math.tri_intersect` term for term (the edge
+    subtractions are precomputed host-side, bit-identically)."""
     v0x, v0y, v0z = tri[0:1, :], tri[1:2, :], tri[2:3, :]
-    e1x, e1y, e1z = tri[3:4, :] - v0x, tri[4:5, :] - v0y, tri[5:6, :] - v0z
-    e2x, e2y, e2z = tri[6:7, :] - v0x, tri[7:8, :] - v0y, tri[8:9, :] - v0z
+    e1x, e1y, e1z = tri[3:4, :], tri[4:5, :], tri[5:6, :]
+    e2x, e2y, e2z = tri[6:7, :], tri[7:8, :], tri[8:9, :]
     # pvec = d x e2 : [R,G]
     pvx = dy * e2z - dz * e2y
     pvy = dz * e2x - dx * e2z
@@ -204,18 +209,32 @@ def _occlusion_kernel(rays_per_tile: int, g: int, t_eps: float,
     return kernel
 
 
-def _tile_lists(survive, num_segments, max_w: int = 32):
-    """Compact the [T,S] cull mask into sorted per-tile segment lists.
+def _tile_lists(survive, num_segments, max_w: int = 32, order=None,
+                keys=None):
+    """Compact the [T,S] cull mask into per-tile segment lists.
 
-    Fast path: one-hot MATMUL compaction — ``lists[t,r] = Σ_s E[t,s,r]·s``
+    Fast path: one-hot MATMUL compaction — ``lists[t,r] = Σ_s E[t,s,r]·id``
     with ``E = (cumsum(mask)==r+1) & mask`` — pure VPU compares plus one
     f32 contraction, measured far below the row sort's fixed ~2.5 ms
     floor.  Exactness guard: covers ranks < ``max_w``; the rare frame
     where some tile exceeds it takes the full-width sort instead
     (``lax.cond``, one branch executes).  Output ids are clamped so padded
     entries address segment 0 harmlessly (the kernel never reads past
-    ``counts``)."""
+    ``counts``).
+
+    ``order``: optional [S] permutation — lists come out in that column
+    order (e.g. ascending eye distance, enabling in-kernel early exit).
+    ``keys``: optional [S] float32 per-segment values (indexed by REAL
+    segment id); when given, also returns ``klists`` aligned with lists.
+    """
     t, s = survive.shape
+    if order is not None:
+        survive = survive[:, order]
+        ids = order.astype(jnp.float32)
+        kvals = keys[order] if keys is not None else None
+    else:
+        ids = jnp.arange(s, dtype=jnp.float32)
+        kvals = keys
     counts = jnp.sum(survive, axis=1).astype(jnp.int32)
     w = min(max_w, s)
     out_w = -(-s // 128) * 128  # kernel SMEM block width (Mosaic 128 rule)
@@ -224,25 +243,39 @@ def _tile_lists(survive, num_segments, max_w: int = 32):
         rank = jnp.cumsum(survive.astype(jnp.int32), axis=1)
         r_ids = jnp.arange(w, dtype=jnp.int32)
         e = (rank[:, :, None] == (r_ids[None, None] + 1)) & survive[:, :, None]
-        s_ids = jnp.arange(s, dtype=jnp.float32)
-        lists = jnp.einsum("tsr,s->tr", e.astype(jnp.float32), s_ids,
+        ef = e.astype(jnp.float32)
+        lists = jnp.einsum("tsr,s->tr", ef, ids,
                            preferred_element_type=jnp.float32)
-        lists = lists.astype(jnp.int32)
-        return jnp.pad(lists, ((0, 0), (0, out_w - w)))
+        lists = jnp.pad(lists.astype(jnp.int32), ((0, 0), (0, out_w - w)))
+        if kvals is None:
+            return lists, lists.astype(jnp.float32)
+        kl = jnp.einsum("tsr,s->tr", ef, kvals,
+                        preferred_element_type=jnp.float32)
+        return lists, jnp.pad(kl, ((0, 0), (0, out_w - w)))
 
     def sortpath(_):
-        lists, _ = _compact(survive, 1)
+        pos, _ = _compact(survive, 1)  # ascending positions in `order` space
+        pos = jnp.minimum(pos, s - 1)
+        pos = jnp.pad(pos, ((0, 0), (0, out_w - pos.shape[1])))
+        lists = (order[pos] if order is not None else pos).astype(jnp.int32)
         lists = jnp.minimum(lists, num_segments - 1)
-        return jnp.pad(lists, ((0, 0), (0, out_w - lists.shape[1])))
+        if kvals is None:
+            return lists, lists.astype(jnp.float32)
+        return lists, kvals[pos]
 
     if s <= w:  # one-hot always exact; no guard needed
-        lists = onehot(None)
+        lists, klists = onehot(None)
     else:
-        lists = jax.lax.cond(jnp.max(counts) <= w, onehot, sortpath, None)
+        lists, klists = jax.lax.cond(jnp.max(counts) <= w, onehot, sortpath,
+                                     None)
     # Mosaic block rule: the last two dims of a blocked operand must be
     # 8/128-divisible or span the whole array — so ship lists as
     # [T, 1, W128] and counts as [T, 1, 1], blocked (1, full, full).
-    return lists.reshape(t, 1, out_w), counts.reshape(t, 1, 1)
+    lists = lists.reshape(t, 1, out_w)
+    counts = counts.reshape(t, 1, 1)
+    if keys is None:
+        return lists, counts
+    return lists, counts, klists.reshape(t, 1, out_w)
 
 
 def trace_tiles_pallas(
@@ -372,36 +405,9 @@ def occlusion_tiles_pallas(
     t_eps = float(trace_cfg.t_epsilon)
     num_tiles = o_tiles.shape[0]
 
-    big = jnp.float32(3.0e37)
-    omin = jnp.min(jnp.where(a_tiles[..., None], o_tiles, big), axis=1)
-    omax = jnp.max(jnp.where(a_tiles[..., None], o_tiles, -big), axis=1)
-    tile_any = jnp.any(a_tiles, axis=1)
-
-    l = light_dir / jnp.linalg.norm(light_dir)
-    helper = jnp.where(jnp.abs(l[0]) < 0.9,
-                       jnp.array([1.0, 0.0, 0.0], jnp.float32),
-                       jnp.array([0.0, 1.0, 0.0], jnp.float32))
-    u_ax = jnp.cross(l, helper)
-    u_ax = u_ax / jnp.linalg.norm(u_ax)
-    v_ax = jnp.cross(l, u_ax)
-
-    def interval(boxmin, boxmax, axis):
-        c = (boxmin + boxmax) * 0.5
-        h = (boxmax - boxmin) * 0.5
-        return c @ axis - h @ jnp.abs(axis), c @ axis + h @ jnp.abs(axis)
-
-    ou_lo, ou_hi = interval(omin, omax, u_ax)
-    ov_lo, ov_hi = interval(omin, omax, v_ax)
-    ol_lo, _ = interval(omin, omax, l)
-    cu_lo, cu_hi = interval(cs.cmin, cs.cmax, u_ax)
-    cv_lo, cv_hi = interval(cs.cmin, cs.cmax, v_ax)
-    _, cl_hi = interval(cs.cmin, cs.cmax, l)
-    survive = (
-        tile_any[:, None]
-        & (cu_hi[None, :] >= ou_lo[:, None]) & (cu_lo[None, :] <= ou_hi[:, None])
-        & (cv_hi[None, :] >= ov_lo[:, None]) & (cv_lo[None, :] <= ov_hi[:, None])
-        & (cl_hi[None, :] >= ol_lo[:, None])
-    )
+    beam = swept_tile_beams(o_tiles, a_tiles, light_dir)
+    l = beam.l
+    survive = beam_survive_matrix(beam, cs.cmin, cs.cmax)
     lists, counts = _tile_lists(survive, s, trace_cfg.sweep_list_width)
 
     w = lists.shape[2]
@@ -476,7 +482,7 @@ def occlusion_dense_pallas(
 
 
 def shade_segment_blocks(cs: ClusterSet, scene) -> tuple[jnp.ndarray, bool]:
-    """``[C, G, 128]`` fused blocks: attribute columns 0-8 corners, 9-17
+    """``[C, G, 128]`` fused blocks: attribute columns 0-8 v0|e1|e2, 9-17
     vertex normals, 18-20 per-face albedo, 21 tex id, 22-27 vertex uvs
     (zeros when the scene has none); columns 28-127 zero-pad the LANE dim
     to the 128 tile so the per-segment HBM->VMEM DMA slices a full lane
@@ -491,7 +497,10 @@ def shade_segment_blocks(cs: ClusterSet, scene) -> tuple[jnp.ndarray, bool]:
     pad_ok = (cs.face_order >= 0)[:, None].astype(jnp.float32)
 
     n = scene.attrs[VERTEX_DATA_NORMAL]
-    rows = [cs.tris.reshape(c * g, 9)]
+    v0 = cs.tris[..., 0:3]
+    edges = jnp.concatenate(
+        [v0, cs.tris[..., 3:6] - v0, cs.tris[..., 6:9] - v0], axis=-1)
+    rows = [edges.reshape(c * g, 9)]
     rows.append(jnp.concatenate(
         [n[f[:, 0]], n[f[:, 1]], n[f[:, 2]]], axis=1) * pad_ok)
     mat = scene.mesh_material[f[:, 3]]
@@ -601,11 +610,10 @@ def _primary_shade_kernel(rays_per_tile: int, g: int, t_eps, has_uv: bool,
 
 
 def _mt_cols(tri, ox, oy, oz, dx, dy, dz, t_eps):
-    """Möller–Trumbore with candidates on SUBLANES ([G,1] columns) and
-    rays on LANES ([1,R]) -> t/u/v [G,R].  Same formula as `_mt_rows`."""
-    v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = tri
-    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+    """Möller–Trumbore with candidates on SUBLANES ([G,1] v0|e1|e2
+    columns) and rays on LANES ([1,R]) -> t/u/v [G,R].  Same formula as
+    `_mt_rows`."""
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = tri
     pvx = dy * e2z - dz * e2y
     pvy = dz * e2x - dx * e2z
     pvz = dx * e2y - dy * e2x
