@@ -129,6 +129,10 @@ def main(argv=None) -> int:
         if args.profile:
             prof.report(force=True)
         print(f"wrote {path}")
+    # Release the process-global current RT (the reference unlocks before
+    # presenting each frame, `Program.cpp:302-311`); without this an
+    # in-process caller (tests, notebooks) leaks a locked global.
+    rt.unlock()
     return 0
 
 

@@ -1,0 +1,107 @@
+"""Primitive-sharded ring traversal (`parallel/ring.py`) on the virtual
+8-device CPU mesh: each device holds 1/8 of the clusters and passes its
+shard around the ring; the result must be BIT-IDENTICAL to the
+replicated single-device dense sweep (same fp ops on disjoint subsets,
+strict-< combine preserves the lowest-cluster-index tie rule)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracercuda_tpu.accel.clusters import build_clusters
+from raytracercuda_tpu.config import ClusterConfig, TraceConfig
+from raytracercuda_tpu.models.camera import camera_ray_grid
+from raytracercuda_tpu.parallel.mesh import pad_rays_for_mesh
+from raytracercuda_tpu.parallel.ring import (
+    any_hit_ring_sharded,
+    make_ring_mesh,
+    pad_clusters_for_ring,
+    trace_ring_sharded,
+)
+from raytracercuda_tpu.trace.dense import trace_clusters_rays
+from raytracercuda_tpu.trace.pipeline import rotate_rays
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+def random_tri_soup(n=600, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-2.0, 2.0, (n, 3)).astype(np.float32)
+    base[:, 2] += 4.0
+    offs = rng.normal(scale=0.3, size=(n, 2, 3)).astype(np.float32)
+    verts = np.concatenate(
+        [base[:, None], base[:, None] + offs], axis=1
+    ).reshape(-1, 3)
+    faces = np.concatenate(
+        [np.arange(3 * n, dtype=np.int32).reshape(-1, 3),
+         np.zeros((n, 1), np.int32)],
+        axis=1,
+    )
+    return jnp.asarray(verts), jnp.asarray(faces)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    positions, faces = random_tri_soup()
+    cs = build_clusters(positions, faces, ClusterConfig(cluster_size=16))
+    mesh = make_ring_mesh(8)
+    cs8 = pad_clusters_for_ring(cs, 8)
+    rays = camera_ray_grid(32, 32)
+    dirs = rotate_rays(rays, jnp.eye(3))
+    eye = jnp.asarray([0.1, -0.2, 0.0], jnp.float32)
+    origin = jnp.broadcast_to(eye[None, :], dirs.shape)
+    return cs, cs8, mesh, origin, dirs
+
+
+def test_ring_matches_replicated(setup):
+    cs, cs8, mesh, origin, dirs = setup
+    ref = trace_clusters_rays(cs, origin, dirs, TraceConfig())
+    got = trace_ring_sharded(cs8, origin, dirs, mesh, TraceConfig())
+    assert bool(jnp.any(ref.face >= 0)), "degenerate fixture: no hits"
+    np.testing.assert_array_equal(np.asarray(got.face), np.asarray(ref.face))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(got.u), np.asarray(ref.u))
+
+
+def test_ring_memory_is_sharded(setup):
+    """Each device's addressable shard of the cluster table is 1/8 of the
+    global table — the point of the ring (>HBM scenes)."""
+    cs, cs8, mesh, origin, dirs = setup
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tris = jax.device_put(cs8.tris, NamedSharding(mesh, P("ring")))
+    shard = tris.addressable_shards[0]
+    assert shard.data.shape[0] == cs8.num_clusters // 8
+
+
+def test_ring_active_mask_and_occlusion(setup):
+    cs, cs8, mesh, origin, dirs = setup
+    active = (jnp.arange(origin.shape[0]) % 2) == 0
+    ref = trace_clusters_rays(cs, origin, dirs, TraceConfig(), active=active)
+    got = trace_ring_sharded(cs8, origin, dirs, mesh, TraceConfig(),
+                             active=active)
+    np.testing.assert_array_equal(np.asarray(got.face), np.asarray(ref.face))
+    max_t = jnp.full(origin.shape[:1], 1e6, jnp.float32)
+    occ = any_hit_ring_sharded(cs8, origin, dirs, max_t, mesh, TraceConfig())
+    ref_all = trace_clusters_rays(cs, origin, dirs, TraceConfig())
+    np.testing.assert_array_equal(np.asarray(occ),
+                                  np.asarray(ref_all.face >= 0))
+
+
+def test_ring_pads_uneven_rays():
+    positions, faces = random_tri_soup(n=64, seed=5)
+    cs = pad_clusters_for_ring(
+        build_clusters(positions, faces, ClusterConfig(cluster_size=16)), 8)
+    mesh = make_ring_mesh(8)
+    rays = camera_ray_grid(10, 10)  # 100 rays: not divisible by 8
+    dirs = rotate_rays(rays, jnp.eye(3))
+    eye = jnp.zeros(3, jnp.float32)
+    padded, r = pad_rays_for_mesh(dirs, mesh)
+    origin = jnp.broadcast_to(eye[None, :], padded.shape)
+    got = trace_ring_sharded(cs, origin, padded, mesh, TraceConfig())
+    ref = trace_clusters_rays(cs, origin[:r], dirs, TraceConfig())
+    np.testing.assert_array_equal(np.asarray(got.face[:r]),
+                                  np.asarray(ref.face))
