@@ -92,6 +92,23 @@ def untile_pixels(x: jnp.ndarray, height: int, width: int, tile_px: int):
     return x.reshape(shp).transpose(perm).reshape((height * width,) + trailing)
 
 
+def tile_pixels_planar(x3: jnp.ndarray, height: int, width: int,
+                       tile_px: int) -> jnp.ndarray:
+    """PLANAR ``[3, H*W]`` row-major -> ``[T, 3, R]`` tile-major.
+
+    The planar route to the Pallas kernels' ``[T, 3, R]`` operand: every
+    permute here moves whole pixel rows (the minor axis stays pixels), so
+    XLA relayouts at full lane width — unlike ``tile_pixels`` followed by
+    a ``[T,R,3] -> [T,3,R]`` transpose, whose minor-dim-3 shuffle was
+    measured at ~1 ms per 512² frame on its own."""
+    th, tw = height // tile_px, width // tile_px
+    return (
+        x3.reshape(3, th, tile_px, tw, tile_px)
+        .transpose(1, 3, 0, 2, 4)
+        .reshape(th * tw, 3, tile_px * tile_px)
+    )
+
+
 def tile_frustum_planes(d_tiles: jnp.ndarray, tile_px: int) -> jnp.ndarray:
     """Inward-oriented bounding planes of each tile's pinhole beam.
 

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..models.scene import SceneData
 from ..ops.math import normalize
-from .dense import tile_pixels, untile_pixels
+from .dense import untile_pixels
 
 
 def use_pallas(config: RenderConfig, cluster_size: int) -> bool:
@@ -89,98 +89,124 @@ class FrameRenderer:
         self.tile_px = config.trace.dense_tile_px
         self.pallas = use_pallas(config, getattr(accel, "cluster_size", 0))
         if self.pallas:
-            from .pallas_sweep import segment_blocks, shade_segment_blocks
+            from .pallas_sweep import shade_segment_blocks
 
-            # Built ONCE per (scene, accel): the fused trace blocks carry
-            # interpolation attributes; occlusion sweeps corners only.
+            # Built ONCE per (scene, accel); ONE triangle operand serves
+            # both the fused trace kernel and the planar occlusion kernel
+            # (v0|e1|e2 live in columns 0-8).
             self.blocks, self.has_uv = shade_segment_blocks(accel, scene)
-            self.occ_blocks = (accel.tri_blocks
-                               if getattr(accel, "tri_blocks", None)
-                               is not None else segment_blocks(accel))
         else:
             from .shade import build_face_tables
 
             self.tables = build_face_tables(scene)
 
-    # ---------------- Pallas path (two stages) ----------------
+    # ---------------- Pallas path (two stages, PLANAR) ----------------
+    #
+    # Every per-ray quantity stays a lane-major [T, R] / [N] plane from
+    # the ray grid to the packed framebuffer: [N,3] xyz-minor layouts use
+    # 3 of 128 lanes per vreg on this hardware, and the measured stack/
+    # transpose glue around the kernels (~3 ms/frame at 512²) exceeded
+    # the sweeps themselves.
 
     def _trace_impl(self, accel, blocks, rays, eye, orient):
-        from .pallas_sweep import trace_shade_tiles_pallas
-        from .pipeline import rotate_rays
+        from .dense import tile_pixels_planar
+        from .pallas_sweep import trace_shade_tiles_planar
 
-        dirs = rotate_rays(rays, orient)
-        d_tiles = tile_pixels(dirs, self.height, self.width, self.tile_px)
-        hit, normal, albedo, tex_uv = trace_shade_tiles_pallas(
-            accel, blocks, self.has_uv, eye, d_tiles,
+        # dirs = rays @ orient.T, produced directly in planar [3, N] form
+        # (the transpose folds into the contraction; `rotate_rays` parity).
+        d3 = jnp.einsum("ij,nj->in", orient, rays)
+        d3_tiles = tile_pixels_planar(d3, self.height, self.width,
+                                      self.tile_px)
+        outs = trace_shade_tiles_planar(
+            accel, blocks, self.has_uv, eye, d3_tiles,
             tile_px=self.tile_px, trace_cfg=self.config.trace)
-        return d_tiles, hit, normal, albedo, tex_uv
+        return d3_tiles, outs
 
-    def _shadow_shade_impl(self, accel, occ_blocks, textures, eye, d_tiles,
-                           hit, normal, albedo, tex_uv):
-        from .pallas_sweep import occlusion_tiles_pallas
+    def _shadow_shade_impl(self, accel, blocks, textures, eye, d3_tiles,
+                           outs):
+        from .pallas_sweep import occlusion_tiles_planar
+        from ..ops.math import pack_rgb
+        from ..types import FLT_MAX
 
         tp = self.tile_px
-        t = d_tiles.shape[0]
-        dirs_flat = d_tiles.reshape(-1, 3)
-        n = normalize(normal, eps=1e-30)
-        flip = jnp.sum(n * dirs_flat, axis=-1) > 0.0
-        n = jnp.where(flip[..., None], -n, n)
-        ndotl = jnp.maximum(jnp.sum(n * self.light, axis=-1), 0.0)
+        t = d3_tiles.shape[0]
+        bt = outs[0].reshape(-1)
+        nx, ny, nz = (o.reshape(-1) for o in outs[4:7])
+        ar, ag, ab = (o.reshape(-1) for o in outs[7:10])
+        dx = d3_tiles[:, 0, :].reshape(-1)
+        dy = d3_tiles[:, 1, :].reshape(-1)
+        dz = d3_tiles[:, 2, :].reshape(-1)
+        hitm = bt < FLT_MAX
+
+        # normalize(n, eps=1e-30) in planar form (division, then exact
+        # negation — same fp ops as the [N,3] route), then face the eye.
+        nlen = jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+        nx, ny, nz = nx / nlen, ny / nlen, nz / nlen
+        flip = nx * dx + ny * dy + nz * dz > 0.0
+        nx = jnp.where(flip, -nx, nx)
+        ny = jnp.where(flip, -ny, ny)
+        nz = jnp.where(flip, -nz, nz)
+        lx, ly, lz = self.light[0], self.light[1], self.light[2]
+        ndotl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
         if self.shadows:
             # Shadow rays only where they can change the pixel: surfaces
             # facing away from the light (ndotl == 0) shade to ambient
             # with or without occlusion.  This also tightens each tile's
             # swept hit box, shrinking the occlusion survivor lists.
-            active = hit.hit_mask & (ndotl > 0.0)
-            p = eye[None, :] + dirs_flat * jnp.minimum(hit.t, 1e6)[..., None]
-            so = (jnp.where(active[..., None], p, eye[None, :])
-                  + self.light * self.shadow_eps)
-            shadow = occlusion_tiles_pallas(
-                accel, occ_blocks, so.reshape(t, tp * tp, 3), self.light,
+            active = hitm & (ndotl > 0.0)
+            tmin = jnp.minimum(bt, 1e6)
+            eps = self.shadow_eps
+            sox = jnp.where(active, eye[0] + dx * tmin, eye[0]) + lx * eps
+            soy = jnp.where(active, eye[1] + dy * tmin, eye[1]) + ly * eps
+            soz = jnp.where(active, eye[2] + dz * tmin, eye[2]) + lz * eps
+            o3 = jnp.stack([sox.reshape(t, tp * tp),
+                            soy.reshape(t, tp * tp),
+                            soz.reshape(t, tp * tp)], axis=1)
+            shadow = occlusion_tiles_planar(
+                accel, blocks, o3, self.light,
                 active.reshape(t, tp * tp), tile_px=tp,
                 trace_cfg=self.config.trace)
-            ndotl = jnp.where(shadow, 0.0, ndotl)
-        rgb = self._shade_lit(hit, ndotl, albedo, tex_uv, textures)
-        from .shade import pack_shaded
-
-        packed = pack_shaded(rgb)
-        return untile_pixels(packed.reshape(t, tp * tp), self.height,
-                             self.width, tp)
-
-    def _shade_lit(self, hit, ndotl, albedo, tex_uv, textures):
-        if tex_uv is not None and textures.shape[0] > 0:
+            ndotl = jnp.where(shadow.reshape(-1), 0.0, ndotl)
+        if self.has_uv and textures.shape[0] > 0:
             from .shade import sample_texture
 
-            tex_id = tex_uv[:, 0].astype(jnp.int32)
+            tex_id = outs[10].reshape(-1).astype(jnp.int32)
             tex_rgb = sample_texture(textures, tex_id,
-                                     tex_uv[:, 1], tex_uv[:, 2])
-            albedo = jnp.where((tex_id >= 0)[:, None], albedo * tex_rgb,
-                               albedo)
-        rgb = albedo * (self.ambient + (1.0 - self.ambient) * ndotl)[..., None]
-        return jnp.where(hit.hit_mask[..., None], rgb, self.background)
+                                     outs[11].reshape(-1),
+                                     outs[12].reshape(-1))
+            texd = tex_id >= 0
+            ar = jnp.where(texd, ar * tex_rgb[:, 0], ar)
+            ag = jnp.where(texd, ag * tex_rgb[:, 1], ag)
+            ab = jnp.where(texd, ab * tex_rgb[:, 2], ab)
+        lit = self.ambient + (1.0 - self.ambient) * ndotl
+        bg = self.background
+        r = jnp.where(hitm, ar * lit, bg[0])
+        g = jnp.where(hitm, ag * lit, bg[1])
+        b = jnp.where(hitm, ab * lit, bg[2])
+        packed = pack_rgb(r, g, b)
+        return untile_pixels(packed.reshape(t, tp * tp), self.height,
+                             self.width, tp)
 
     @partial(jax.jit, static_argnums=0)
     def _stage_trace(self, accel, blocks, rays, eye, orient):
         return self._trace_impl(accel, blocks, rays, eye, orient)
 
     @partial(jax.jit, static_argnums=0)
-    def _stage_shadow_shade(self, accel, occ_blocks, textures, eye, d_tiles,
-                            hit, normal, albedo, tex_uv):
-        return self._shadow_shade_impl(accel, occ_blocks, textures, eye,
-                                       d_tiles, hit, normal, albedo, tex_uv)
+    def _stage_shadow_shade(self, accel, blocks, textures, eye, d3_tiles,
+                            outs):
+        return self._shadow_shade_impl(accel, blocks, textures, eye,
+                                       d3_tiles, outs)
 
     @partial(jax.jit, static_argnums=0)
-    def _frame_pallas(self, accel, blocks, occ_blocks, textures, rays, eye,
-                      orient):
+    def _frame_pallas(self, accel, blocks, textures, rays, eye, orient):
         """Both stages in one program.  Measured SLOWER than two stages
         on the bunny frame (11.3 vs 9.7 ms): back-to-back frames pipeline
         across the two-program boundary, which one big program cannot.
         Kept for callers that need the frame as a single jittable unit
         (e.g. sharding the whole frame under one shard_map)."""
-        d_tiles, hit, normal, albedo, tex_uv = self._trace_impl(
-            accel, blocks, rays, eye, orient)
-        return self._shadow_shade_impl(accel, occ_blocks, textures, eye,
-                                       d_tiles, hit, normal, albedo, tex_uv)
+        d3_tiles, outs = self._trace_impl(accel, blocks, rays, eye, orient)
+        return self._shadow_shade_impl(accel, blocks, textures, eye,
+                                       d3_tiles, outs)
 
     # ---------------- XLA dense fallback (one stage) ----------------
 
@@ -235,14 +261,12 @@ class FrameRenderer:
         if self.pallas:
             if self.single_dispatch:
                 return self._frame_pallas(self.accel, self.blocks,
-                                          self.occ_blocks,
                                           self.scene.textures, rays, eye,
                                           orient)
-            d_tiles, hit, normal, albedo, tex_uv = self._stage_trace(
+            d3_tiles, outs = self._stage_trace(
                 self.accel, self.blocks, rays, eye, orient)
-            return self._stage_shadow_shade(self.accel, self.occ_blocks,
+            return self._stage_shadow_shade(self.accel, self.blocks,
                                             self.scene.textures, eye,
-                                            d_tiles, hit, normal, albedo,
-                                            tex_uv)
+                                            d3_tiles, outs)
         return self._frame_xla(self.scene, self.accel, self.tables, rays,
                                eye, orient)

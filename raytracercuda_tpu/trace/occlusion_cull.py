@@ -63,6 +63,24 @@ def swept_tile_beams(o_tiles: jnp.ndarray, a_tiles: jnp.ndarray,
                      tile_any=tile_any)
 
 
+def swept_tile_beams_planar(o3_tiles: jnp.ndarray, a_tiles: jnp.ndarray,
+                            light_dir: jnp.ndarray) -> SweptBeam:
+    """`swept_tile_beams` for PLANAR ``[T, 3, R]`` origins + ``[T, R]``
+    active — identical beams, lane-major reductions."""
+    big = jnp.float32(3.0e37)
+    act = a_tiles[:, None, :]
+    omin = jnp.min(jnp.where(act, o3_tiles, big), axis=2)    # [T,3]
+    omax = jnp.max(jnp.where(act, o3_tiles, -big), axis=2)
+    tile_any = jnp.any(a_tiles, axis=1)
+    u_ax, v_ax, l = light_basis(light_dir)
+    ou_lo, ou_hi = box_interval(omin, omax, u_ax)
+    ov_lo, ov_hi = box_interval(omin, omax, v_ax)
+    ol_lo, _ = box_interval(omin, omax, l)
+    return SweptBeam(u_ax=u_ax, v_ax=v_ax, l=l, ou_lo=ou_lo, ou_hi=ou_hi,
+                     ov_lo=ov_lo, ov_hi=ov_hi, ol_lo=ol_lo,
+                     tile_any=tile_any)
+
+
 def beam_survive_matrix(beam: SweptBeam, cmin: jnp.ndarray,
                         cmax: jnp.ndarray) -> jnp.ndarray:
     """``[T, C]`` bool — which boxes each tile beam must test."""

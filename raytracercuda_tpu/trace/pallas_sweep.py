@@ -51,6 +51,15 @@ from .dense import (
     untile_pixels,
 )
 
+# HBM->VMEM triangle-block pipeline: prefetch DMA_DEPTH segments ahead
+# through N_BUF rotating buffers (N_BUF > DMA_DEPTH so no in-flight copy
+# targets the buffer being swept).  Measured NEUTRAL vs classic depth-1
+# double buffering on the bunny frame (stage1 6.6 vs 6.5 ms) — the sweep
+# is VPU-bound, not DMA-latency-bound; kept at 3 as free headroom for
+# scenes with shorter survivor lists per tile.
+N_BUF = 4
+DMA_DEPTH = 3
+
 
 def segment_blocks(cs: ClusterSet) -> jnp.ndarray:
     """``[C, 16, G]`` component-major triangle blocks (9 rows: v0|e1|e2
@@ -87,10 +96,14 @@ def _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps):
     v = (dx * qvx + dy * qvy + dz * qvz) * inv
     t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
     miss = (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
-    miss = miss | jnp.isnan(u) | jnp.isnan(v) | jnp.isnan(t)
-    t = jnp.where(miss, FLT_MAX, t)
+    # det==0 is the only finite-input source of NaN u/v/t (0 * inf); a
+    # nonzero numerator over det==0 gives +/-inf, which the range tests
+    # already reject — so one compare replaces the oracle's three isnan
+    # guards with identical outcomes (`ops/math.tri_intersect:103-106`).
+    miss = miss | (det == 0.0)
     if t_eps is not None:
-        t = jnp.where(t < t_eps, FLT_MAX, t)
+        miss = miss | (t < t_eps)
+    t = jnp.where(miss, FLT_MAX, t)
     return t, u, v
 
 
@@ -107,25 +120,43 @@ def _primary_kernel(rays_per_tile: int, g: int, t_eps, tiles_per_program: int):
         def tile_body(b, _):
             count = counts_ref[b, 0, 0]
 
+            # Empty tiles (most of a typical frame) write miss defaults
+            # and skip the whole sweep apparatus (~4 us/tile even idle).
+            @pl.when(count == 0)
+            def _():
+                row = pl.ds(b * R, R)
+                bt_ref[row, :] = jnp.full((R, 1), FLT_MAX, jnp.float32)
+                bu_ref[row, :] = jnp.zeros((R, 1), jnp.float32)
+                bv_ref[row, :] = jnp.zeros((R, 1), jnp.float32)
+                bs_ref[row, :] = jnp.zeros((R, 1), jnp.int32)
+
+            @pl.when(count > 0)
+            def _():
+                swept_tile(b, count)
+            return 0
+
+        def swept_tile(b, count):
             def dma(slot, r):
                 s = lists_ref[b, 0, r]
                 return pltpu.make_async_copy(
                     tris_hbm.at[s], buf.at[slot], sems.at[slot])
 
-            @pl.when(count > 0)
-            def _():
-                dma(0, 0).start()
+            for p in range(DMA_DEPTH):
+                @pl.when(p < count)
+                def _(p=p):
+                    dma(p % N_BUF, p).start()
 
             d = d_ref[pl.ds(b, 1)][0]  # [R,3]
             dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
 
             def body(r, carry):
                 bt, bu, bv, bs = carry
-                slot = jax.lax.rem(r, 2)
+                slot = jax.lax.rem(r, N_BUF)
 
-                @pl.when(r + 1 < count)
+                @pl.when(r + DMA_DEPTH < count)
                 def _():
-                    dma(1 - slot, r + 1).start()
+                    dma(jax.lax.rem(r + DMA_DEPTH, N_BUF),
+                        r + DMA_DEPTH).start()
 
                 dma(slot, r).wait()
                 tri = buf[pl.ds(slot, 1)][0]  # [16,G]
@@ -153,7 +184,6 @@ def _primary_kernel(rays_per_tile: int, g: int, t_eps, tiles_per_program: int):
             bu_ref[row, :] = bu
             bv_ref[row, :] = bv
             bs_ref[row, :] = bs
-            return 0
 
         jax.lax.fori_loop(0, B, tile_body, 0)
 
@@ -172,25 +202,39 @@ def _occlusion_kernel(rays_per_tile: int, g: int, t_eps: float,
         def tile_body(b, _):
             count = counts_ref[b, 0, 0]
 
+            # 94% of shadow tiles cull to nothing (empty beams or fully
+            # inactive) — write the no-occlusion default and skip.
+            @pl.when(count == 0)
+            def _():
+                occ_ref[pl.ds(b * R, R), :] = jnp.zeros((R, 1), jnp.int32)
+
+            @pl.when(count > 0)
+            def _():
+                swept_tile(b, count)
+            return 0
+
+        def swept_tile(b, count):
             def dma(slot, r):
                 s = lists_ref[b, 0, r]
                 return pltpu.make_async_copy(
                     tris_hbm.at[s], buf.at[slot], sems.at[slot])
 
-            @pl.when(count > 0)
-            def _():
-                dma(0, 0).start()
+            for p in range(DMA_DEPTH):
+                @pl.when(p < count)
+                def _(p=p):
+                    dma(p % N_BUF, p).start()
 
             o = o_ref[pl.ds(b, 1)][0]  # [R,3] per-ray origins
             ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
             active = act_ref[pl.ds(b, 1)][0] > 0  # [R,1]
 
             def body(r, occ):
-                slot = jax.lax.rem(r, 2)
+                slot = jax.lax.rem(r, N_BUF)
 
-                @pl.when(r + 1 < count)
+                @pl.when(r + DMA_DEPTH < count)
                 def _():
-                    dma(1 - slot, r + 1).start()
+                    dma(jax.lax.rem(r + DMA_DEPTH, N_BUF),
+                        r + DMA_DEPTH).start()
 
                 dma(slot, r).wait()
                 tri = buf[pl.ds(slot, 1)][0]
@@ -202,7 +246,6 @@ def _occlusion_kernel(rays_per_tile: int, g: int, t_eps: float,
             occ = jax.lax.fori_loop(
                 0, count, body, jnp.zeros((R, 1), jnp.int32))
             occ_ref[pl.ds(b * R, R), :] = occ
-            return 0
 
         jax.lax.fori_loop(0, B, tile_body, 0)
 
@@ -240,18 +283,34 @@ def _tile_lists(survive, num_segments, max_w: int = 32, order=None,
     out_w = -(-s // 128) * 128  # kernel SMEM block width (Mosaic 128 rule)
 
     def onehot(_):
-        rank = jnp.cumsum(survive.astype(jnp.int32), axis=1)
-        r_ids = jnp.arange(w, dtype=jnp.int32)
-        e = (rank[:, :, None] == (r_ids[None, None] + 1)) & survive[:, :, None]
-        ef = e.astype(jnp.float32)
-        lists = jnp.einsum("tsr,s->tr", ef, ids,
-                           preferred_element_type=jnp.float32)
-        lists = jnp.pad(lists.astype(jnp.int32), ((0, 0), (0, out_w - w)))
+        def rows(sv):  # [tc, S] -> ([tc, w], [tc, w])
+            rank = jnp.cumsum(sv.astype(jnp.int32), axis=1)
+            r_ids = jnp.arange(w, dtype=jnp.int32)
+            e = (rank[:, :, None] == (r_ids[None, None] + 1)) & sv[:, :, None]
+            ef = e.astype(jnp.float32)
+            ls = jnp.einsum("tsr,s->tr", ef, ids,
+                            preferred_element_type=jnp.float32)
+            if kvals is None:
+                return ls, ls
+            return ls, jnp.einsum("tsr,s->tr", ef, kvals,
+                                  preferred_element_type=jnp.float32)
+
+        # The [tc, S, w] one-hot is the big intermediate: chunk tiles so
+        # it stays <=128 MB however large the frame/scene gets (weak spot
+        # flagged in r2: 1080p x 515k tris would be ~2.4 GB unchunked).
+        chunk = max(8, (1 << 25) // max(s * w, 1))
+        if t <= chunk:
+            lf, kf = rows(survive)
+        else:
+            nc = -(-t // chunk)
+            padded = jnp.pad(survive, ((0, nc * chunk - t), (0, 0)))
+            lf, kf = jax.lax.map(rows, padded.reshape(nc, chunk, s))
+            lf = lf.reshape(nc * chunk, w)[:t]
+            kf = kf.reshape(nc * chunk, w)[:t]
+        lists = jnp.pad(lf.astype(jnp.int32), ((0, 0), (0, out_w - w)))
         if kvals is None:
             return lists, lists.astype(jnp.float32)
-        kl = jnp.einsum("tsr,s->tr", ef, kvals,
-                        preferred_element_type=jnp.float32)
-        return lists, jnp.pad(kl, ((0, 0), (0, out_w - w)))
+        return lists, jnp.pad(kf, ((0, 0), (0, out_w - w)))
 
     def sortpath(_):
         pos, _ = _compact(survive, 1)  # ascending positions in `order` space
@@ -332,8 +391,8 @@ def trace_tiles_pallas(
             jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, tri_blocks.shape[1], g), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((N_BUF, tri_blocks.shape[1], g), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
         ],
         interpret=interpret_mode(),
     )(lists, counts, eye.astype(jnp.float32), d_tiles, tri_blocks)
@@ -434,8 +493,8 @@ def occlusion_tiles_pallas(
         out_shape=jax.ShapeDtypeStruct((num_tiles * rays_per_tile, 1),
                                        jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2, tri_blocks.shape[1], g), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((N_BUF, tri_blocks.shape[1], g), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
         ],
         interpret=interpret_mode(),
     )(lists, counts, l.astype(jnp.float32), o_tiles,
@@ -537,25 +596,45 @@ def _primary_shade_kernel(rays_per_tile: int, g: int, t_eps, has_uv: bool,
         def tile_body(b, _):
             count = counts_ref[b, 0, 0]
 
+            # 92% of a bunny-frame's tiles cull to NOTHING (the model
+            # only covers the frame's center), and the sweep apparatus
+            # below costs ~4 us/tile even at count==0 — so empty tiles
+            # write their miss defaults and skip everything else.
+            @pl.when(count == 0)
+            def _():
+                row = pl.ds(b, 1)
+                out_refs[0][row, :] = jnp.full((1, R), FLT_MAX, jnp.float32)
+                out_refs[1][row, :] = jnp.zeros((1, R), jnp.int32)
+                for ref in out_refs[2:]:
+                    ref[row, :] = jnp.zeros((1, R), jnp.float32)
+
+            @pl.when(count > 0)
+            def _():
+                swept_tile(b, count)
+            return 0
+
+        def swept_tile(b, count):
             def dma(slot, r):
                 s = lists_ref[b, 0, r]
                 return pltpu.make_async_copy(
                     tris_hbm.at[s], buf.at[slot], sems.at[slot])
 
-            @pl.when(count > 0)
-            def _():
-                dma(0, 0).start()
+            for p in range(DMA_DEPTH):
+                @pl.when(p < count)
+                def _(p=p):
+                    dma(p % N_BUF, p).start()
 
             d = d_ref[pl.ds(b, 1)][0]  # [3,R]
             dx, dy, dz = d[0:1, :], d[1:2, :], d[2:3, :]  # [1,R]
 
             def body(r, carry):
                 bt, bs, attrs = carry[0], carry[1], carry[2:]
-                slot = jax.lax.rem(r, 2)
+                slot = jax.lax.rem(r, N_BUF)
 
-                @pl.when(r + 1 < count)
+                @pl.when(r + DMA_DEPTH < count)
                 def _():
-                    dma(1 - slot, r + 1).start()
+                    dma(jax.lax.rem(r + DMA_DEPTH, N_BUF),
+                        r + DMA_DEPTH).start()
 
                 dma(slot, r).wait()
                 blk = buf[pl.ds(slot, 1)][0]  # [G,128]: slots x attr cols
@@ -602,7 +681,6 @@ def _primary_shade_kernel(rays_per_tile: int, g: int, t_eps, has_uv: bool,
             out = jax.lax.fori_loop(0, count, body, init)
             for ref, val in zip(out_refs, out):
                 ref[pl.ds(b, 1), :] = val
-            return 0
 
         jax.lax.fori_loop(0, B, tile_body, 0)
 
@@ -627,48 +705,75 @@ def _mt_cols(tri, ox, oy, oz, dx, dy, dz, t_eps):
     v = (dx * qvx + dy * qvy + dz * qvz) * inv
     t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
     miss = (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
-    miss = miss | jnp.isnan(u) | jnp.isnan(v) | jnp.isnan(t)
-    t = jnp.where(miss, FLT_MAX, t)
+    # One det==0 compare replaces three isnan guards — identical outcomes
+    # for finite inputs (see `_mt_rows`).
+    miss = miss | (det == 0.0)
     if t_eps is not None:
-        t = jnp.where(t < t_eps, FLT_MAX, t)
+        miss = miss | (t < t_eps)
+    t = jnp.where(miss, FLT_MAX, t)
     return t, u, v
 
 
-def trace_shade_tiles_pallas(
+def tile_planes_planar(d3_tiles: jnp.ndarray, tile_px: int) -> jnp.ndarray:
+    """`tile_frustum_planes` for PLANAR ``[T, 3, R]`` direction tiles.
+
+    Same corner/mean construction on ``[T,3]`` slices — identical planes,
+    no ``[T,R,3]`` intermediate."""
+    rays_per_tile = tile_px * tile_px
+    c00 = d3_tiles[:, :, 0]
+    c01 = d3_tiles[:, :, tile_px - 1]
+    c10 = d3_tiles[:, :, (tile_px - 1) * tile_px]
+    c11 = d3_tiles[:, :, rays_per_tile - 1]
+    mean_dir = d3_tiles.mean(axis=2)
+
+    def plane(a, b):
+        n = jnp.cross(a, b)
+        s = jnp.sign(jnp.sum(n * mean_dir, axis=-1, keepdims=True))
+        return n * jnp.where(s == 0, 1.0, s)
+
+    return jnp.stack(
+        [plane(c00, c01), plane(c01, c11), plane(c11, c10), plane(c10, c00),
+         mean_dir],
+        axis=1,
+    )
+
+
+def trace_shade_tiles_planar(
     cs: ClusterSet,
     shade_blocks: jnp.ndarray,
     has_uv: bool,
     eye: jnp.ndarray,
-    d_tiles: jnp.ndarray,
+    d3_tiles: jnp.ndarray,
     tile_px: int = 16,
     tiles_per_program: int = 8,
     trace_cfg: TraceConfig = TraceConfig(),
 ):
-    """Fused trace+interpolate, tile-major.
+    """Fused trace+interpolate on PLANAR ``[T, 3, R]`` direction tiles.
 
-    Returns ``(Hit-without-face, slot, normal [N,3], albedo [N,3],
-    tex_uv [N,3] or None)`` — ``tex_uv`` packs (tex_id, u, v).  Shading
-    from these is pure elementwise math (no gathers)."""
+    Returns the kernel's outputs as a tuple of PLANAR ``[T, R]`` arrays
+    ``(t, slot, u, v, nx, ny, nz, ar, ag, ab[, tex, tu, tv])`` — no
+    ``[N,3]`` stacking, no face gather: minor-dim-3 layouts waste 125 of
+    128 lanes on this hardware and the measured epilogue cost (~2 ms at
+    512²) exceeded the sweep itself.  Callers that need face ids gather
+    ``cs.face_order[slot]`` themselves; the frame path never does."""
     g = cs.cluster_size
     assert g % 128 == 0
     rays_per_tile = tile_px * tile_px
     s = cs.num_clusters
     t_eps = float(trace_cfg.t_epsilon) if trace_cfg.clip_backward_hits else None
 
-    planes = tile_frustum_planes(d_tiles, tile_px)
+    planes = tile_planes_planar(d3_tiles, tile_px)
     survive = _cull_frustum(planes, eye, cs.cmin, cs.cmax)
     lists, counts = _tile_lists(survive, s, trace_cfg.sweep_list_width)
-    num_tiles = d_tiles.shape[0]
+    num_tiles = d3_tiles.shape[0]
     b = tiles_per_program
     while num_tiles % b:
         b //= 2
 
     n_out = 13 if has_uv else 10
     w = lists.shape[2]
-    # Rays ride the LANE axis inside the kernel, so ship directions as
-    # [T, 3, R] and collect outputs as [T, R] — naturally (8,128)-tiled
-    # (the [N,1] layout tile-pads 128x and ran VMEM out of memory).
-    dt = d_tiles.transpose(0, 2, 1)
+    # Rays ride the LANE axis inside the kernel ([T, 3, R] directions in,
+    # [T, R] outputs — naturally (8,128)-tiled).
     outs = pl.pallas_call(
         _primary_shade_kernel(rays_per_tile, g, t_eps, has_uv, b),
         grid=(num_tiles // b,),
@@ -691,12 +796,34 @@ def trace_shade_tiles_pallas(
                 jnp.int32 if i == 1 else jnp.float32)
             for i in range(n_out)),
         scratch_shapes=[
-            pltpu.VMEM((2, g, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((N_BUF, g, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
         ],
         interpret=interpret_mode(),
-    )(lists, counts, eye.astype(jnp.float32), dt, shade_blocks)
+    )(lists, counts, eye.astype(jnp.float32), d3_tiles, shade_blocks)
+    return outs
 
+
+def trace_shade_tiles_pallas(
+    cs: ClusterSet,
+    shade_blocks: jnp.ndarray,
+    has_uv: bool,
+    eye: jnp.ndarray,
+    d_tiles: jnp.ndarray,
+    tile_px: int = 16,
+    tiles_per_program: int = 8,
+    trace_cfg: TraceConfig = TraceConfig(),
+):
+    """Fused trace+interpolate, tile-major (``[T, R, 3]`` directions).
+
+    Compatibility wrapper over `trace_shade_tiles_planar`: stacks the
+    planar outputs into ``(Hit, normal [N,3], albedo [N,3], tex_uv [N,3]
+    or None)`` and gathers face ids.  The frame path calls the planar
+    form directly and skips all of this."""
+    outs = trace_shade_tiles_planar(
+        cs, shade_blocks, has_uv, eye, d_tiles.transpose(0, 2, 1),
+        tile_px=tile_px, tiles_per_program=tiles_per_program,
+        trace_cfg=trace_cfg)
     outs = [o.reshape(-1) for o in outs]
     bt, bs, bu, bv = outs[0], outs[1], outs[2], outs[3]
     normal = jnp.stack([outs[4], outs[5], outs[6]], axis=1)
@@ -709,3 +836,141 @@ def trace_shade_tiles_pallas(
         face=jnp.where(bt < FLT_MAX, cs.face_order[bs], -1),
     )
     return hit, normal, albedo, tex_uv
+
+
+# ---------------------------------------------------------------------------
+# Planar occlusion: same [G, R] orientation as the fused trace kernel,
+# reading the SAME shade blocks (v0|e1|e2 columns 0-8) — one triangle
+# operand in HBM serves both kernels, and every host-side array stays
+# lane-major [T, R] (minor-dim-3 layouts waste 125/128 lanes on TPU).
+# ---------------------------------------------------------------------------
+
+
+def _occlusion_cols_kernel(rays_per_tile: int, g: int, t_eps: float,
+                           tiles_per_program: int):
+    R = rays_per_tile
+    B = tiles_per_program
+
+    def kernel(lists_ref, counts_ref, light_ref, o_ref, act_ref, blocks_hbm,
+               occ_ref, buf, sems):
+        dx, dy, dz = light_ref[0], light_ref[1], light_ref[2]  # scalars
+
+        def tile_body(b, _):
+            count = counts_ref[b, 0, 0]
+
+            # 94% of shadow tiles cull to nothing — write the default.
+            @pl.when(count == 0)
+            def _():
+                occ_ref[pl.ds(b, 1), :] = jnp.zeros((1, R), jnp.int32)
+
+            @pl.when(count > 0)
+            def _():
+                swept_tile(b, count)
+            return 0
+
+        def swept_tile(b, count):
+            def dma(slot, r):
+                s = lists_ref[b, 0, r]
+                return pltpu.make_async_copy(
+                    blocks_hbm.at[s], buf.at[slot], sems.at[slot])
+
+            for p in range(DMA_DEPTH):
+                @pl.when(p < count)
+                def _(p=p):
+                    dma(p % N_BUF, p).start()
+
+            o = o_ref[pl.ds(b, 1)][0]  # [3,R]
+            ox, oy, oz = o[0:1, :], o[1:2, :], o[2:3, :]  # [1,R]
+            active = act_ref[pl.ds(b, 1)][0:1, :] > 0  # [1,R] bool
+
+            def body(r, occ):
+                slot = jax.lax.rem(r, N_BUF)
+
+                @pl.when(r + DMA_DEPTH < count)
+                def _():
+                    dma(jax.lax.rem(r + DMA_DEPTH, N_BUF),
+                        r + DMA_DEPTH).start()
+
+                dma(slot, r).wait()
+                blk = buf[pl.ds(slot, 1)][0]  # [G,128]
+
+                def col(k):
+                    return blk[:, k:k + 1]
+
+                tri = (col(0), col(1), col(2), col(3), col(4), col(5),
+                       col(6), col(7), col(8))
+                t, _, _ = _mt_cols(tri, ox, oy, oz, dx, dy, dz, t_eps)
+                hit_any = jnp.any(t < FLT_MAX, axis=0, keepdims=True)
+                return jnp.maximum(occ, (hit_any & active).astype(jnp.int32))
+
+            occ = jax.lax.fori_loop(
+                0, count, body, jnp.zeros((1, R), jnp.int32))
+            occ_ref[pl.ds(b, 1), :] = occ
+
+        jax.lax.fori_loop(0, B, tile_body, 0)
+
+    return kernel
+
+
+def occlusion_tiles_planar(
+    cs: ClusterSet,
+    shade_blocks: jnp.ndarray,
+    o3_tiles: jnp.ndarray,
+    light_dir: jnp.ndarray,
+    a_tiles: jnp.ndarray,
+    tile_px: int = 16,
+    tiles_per_program: int = 8,
+    trace_cfg: TraceConfig = TraceConfig(),
+) -> jnp.ndarray:
+    """Directional-light any-hit on PLANAR tiles: ``o3_tiles [T,3,R]`` +
+    ``a_tiles [T,R]`` bool -> ``[T,R]`` bool occlusion.
+
+    Same swept-beam cull and same Möller–Trumbore terms as
+    `occlusion_tiles_pallas` — results are identical; the operand is the
+    fused kernel's shade blocks (columns 0-8), so scenes carry ONE
+    triangle table for both kernels."""
+    from .occlusion_cull import swept_tile_beams_planar
+
+    g = cs.cluster_size
+    assert g % 128 == 0
+    rays_per_tile = tile_px * tile_px
+    s = cs.num_clusters
+    t_eps = float(trace_cfg.t_epsilon)
+    num_tiles = o3_tiles.shape[0]
+
+    beam = swept_tile_beams_planar(o3_tiles, a_tiles, light_dir)
+    survive = beam_survive_matrix(beam, cs.cmin, cs.cmax)
+    lists, counts = _tile_lists(survive, s, trace_cfg.sweep_list_width)
+
+    w = lists.shape[2]
+    b = tiles_per_program
+    while num_tiles % b:
+        b //= 2
+    occ = pl.pallas_call(
+        _occlusion_cols_kernel(rays_per_tile, g, t_eps, b),
+        grid=(num_tiles // b,),
+        in_specs=[
+            pl.BlockSpec((b, 1, w), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 1, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # light [3]
+            pl.BlockSpec((b, 3, rays_per_tile), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, rays_per_tile), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((b, rays_per_tile), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, rays_per_tile),
+                                       jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((N_BUF, g, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
+        ],
+        interpret=interpret_mode(),
+    )(lists, counts, beam.l.astype(jnp.float32), o3_tiles,
+      a_tiles.astype(jnp.int32), shade_blocks)
+
+    return (occ > 0) & a_tiles
