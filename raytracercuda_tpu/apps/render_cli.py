@@ -99,40 +99,44 @@ def main(argv=None) -> int:
             data, scene.accel, config, args.size, args.size,
             shadows=(shading == "lambert-shadow"))
 
-    for frame in range(args.frames):
-        pan = args.pan + np.deg2rad(args.orbit) * frame
-        orient = orient_from_pan_pitch(pan, args.pitch)
-        if shading == "parity":
-            with prof.phase("Trace", sync=None):
-                err = cam.trace_scene(eye, orient, scene, rt)
-                assert err == 0, f"trace error {err}"
-                buf = np.asarray(rt.buffer)
-        elif renderer is not None:
-            with prof.phase("Trace"):
-                buf = np.asarray(renderer.render(
-                    jnp.asarray(eye), jnp.asarray(orient),
-                    cam.initial_rays))
-        else:
-            from raytracercuda_tpu.diff.render_grad import render_rgb
-            from raytracercuda_tpu.trace.shade import pack_shaded
+    # try/finally: the unlock must run even when a frame raises (trace
+    # error, PNG write failure, Ctrl-C mid-orbit) — otherwise an
+    # in-process caller (tests, notebooks) is left with a locked
+    # process-global RenderTarget.  The reference unlocks before
+    # presenting each frame (`Program.cpp:302-311`).
+    try:
+        for frame in range(args.frames):
+            pan = args.pan + np.deg2rad(args.orbit) * frame
+            orient = orient_from_pan_pitch(pan, args.pitch)
+            if shading == "parity":
+                with prof.phase("Trace", sync=None):
+                    err = cam.trace_scene(eye, orient, scene, rt)
+                    assert err == 0, f"trace error {err}"
+                    buf = np.asarray(rt.buffer)
+            elif renderer is not None:
+                with prof.phase("Trace"):
+                    buf = np.asarray(renderer.render(
+                        jnp.asarray(eye), jnp.asarray(orient),
+                        cam.initial_rays))
+            else:
+                from raytracercuda_tpu.diff.render_grad import render_rgb
+                from raytracercuda_tpu.trace.shade import pack_shaded
 
-            with prof.phase("Trace"):
-                rgb = render_rgb(
-                    data, scene.accel, cam.initial_rays,
-                    jnp.asarray(eye), jnp.asarray(orient), config,
-                    with_shadows=(shading == "lambert-shadow"),
-                )
-                buf = np.asarray(pack_shaded(rgb))
-        with prof.phase("Present"):
-            path = os.path.join(args.out, f"frame_{frame:04d}.png")
-            write_packed_png(path, buf, args.size, args.size)
-        if args.profile:
-            prof.report(force=True)
-        print(f"wrote {path}")
-    # Release the process-global current RT (the reference unlocks before
-    # presenting each frame, `Program.cpp:302-311`); without this an
-    # in-process caller (tests, notebooks) leaks a locked global.
-    rt.unlock()
+                with prof.phase("Trace"):
+                    rgb = render_rgb(
+                        data, scene.accel, cam.initial_rays,
+                        jnp.asarray(eye), jnp.asarray(orient), config,
+                        with_shadows=(shading == "lambert-shadow"),
+                    )
+                    buf = np.asarray(pack_shaded(rgb))
+            with prof.phase("Present"):
+                path = os.path.join(args.out, f"frame_{frame:04d}.png")
+                write_packed_png(path, buf, args.size, args.size)
+            if args.profile:
+                prof.report(force=True)
+            print(f"wrote {path}")
+    finally:
+        rt.unlock()
     return 0
 
 

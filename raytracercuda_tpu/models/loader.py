@@ -133,8 +133,8 @@ def _finalize_parse(path, v, vn, vt, corners, face_mats, mtl_files) -> ObjData:
     flat = corners.reshape(-1, 3)  # [3F, (vi,ti,ni)]
     uniq, inverse = np.unique(flat, axis=0, return_inverse=True)
     positions = v[uniq[:, 0]]
-    out_uv = vt[uniq[:, 1]] if len(vt) and (uniq[:, 1] >= 0).any() else None
-    if out_uv is not None:
+    out_uv = None
+    if len(vt) and (uniq[:, 1] >= 0).any():
         out_uv = np.where((uniq[:, 1] >= 0)[:, None], vt[np.maximum(uniq[:, 1], 0)], 0.0)
     out_n = None
     if len(vn) and (uniq[:, 2] >= 0).any():
@@ -196,14 +196,30 @@ def compute_tangents(positions, normals, uvs, indices):
 
 
 def load_model(path: str, scene: Scene, scale: float = 1.0) -> bool:
+    """``Model::load`` analog (`Model.cpp:26-126`).  Convenience boolean
+    wrapper over `load_model_err` — True iff ERROR_ALL_FINE."""
+    from ..errors import ERROR_ALL_FINE
+
+    return load_model_err(path, scene, scale) == ERROR_ALL_FINE
+
+
+def load_model_err(path: str, scene: Scene, scale: float = 1.0) -> int:
     """``Model::load`` analog (`Model.cpp:26-126`): parse, build one Mesh
     per material group, fill vertex slots, register materials/textures on
-    the scene, report stats."""
+    the scene, report stats.
+
+    Returns an ERROR_* status code (`Beam.h:8-16` parity) —
+    ERROR_ALL_FINE on success.  Mesh slot-fill failures propagate their
+    own codes instead of asserting (asserts vanish under ``python -O``,
+    and Beam.h-parity callers expect codes)."""
+    from ..errors import (ERROR_ALL_FINE, ERROR_INVALID_PARAMETER,
+                          ERROR_NO_VERTICES)
+
     if not os.path.exists(path):
-        return False
+        return ERROR_INVALID_PARAMETER
     data = parse_obj(path)
     if data.positions.shape[0] == 0:
-        return False
+        return ERROR_NO_VERTICES
 
     base = os.path.dirname(os.path.abspath(path))
     mat_index: dict[str, int] = {}
@@ -219,20 +235,27 @@ def load_model(path: str, scene: Scene, scale: float = 1.0) -> bool:
         nv = pos.shape[0]
 
         mesh = Mesh.create()
-        assert mesh.set_indices(local.reshape(-1), local.size) == 0
-        assert mesh.set_vertex_data(pos, nv, 3, VERTEX_DATA_POSITION) == 0
+        if (err := mesh.set_indices(local.reshape(-1), local.size)) != 0:
+            return err
+        if (err := mesh.set_vertex_data(pos, nv, 3, VERTEX_DATA_POSITION)) != 0:
+            return err
         normals = (
             data.normals[used]
             if data.normals is not None
             else compute_normals(pos, local)
         )
-        assert mesh.set_vertex_data(normals, nv, 3, VERTEX_DATA_NORMAL) == 0
+        if (err := mesh.set_vertex_data(normals, nv, 3, VERTEX_DATA_NORMAL)) != 0:
+            return err
         if data.uvs is not None:
             uv = data.uvs[used]
-            assert mesh.set_vertex_data(uv, nv, 2, VERTEX_DATA_UV1) == 0
+            if (err := mesh.set_vertex_data(uv, nv, 2, VERTEX_DATA_UV1)) != 0:
+                return err
             tan, bitan = compute_tangents(pos, normals, uv, local)
-            assert mesh.set_vertex_data(tan, nv, 3, VERTEX_DATA_TANGENT) == 0
-            assert mesh.set_vertex_data(bitan, nv, 3, VERTEX_DATA_BITANGENT) == 0
+            if (err := mesh.set_vertex_data(tan, nv, 3, VERTEX_DATA_TANGENT)) != 0:
+                return err
+            if (err := mesh.set_vertex_data(bitan, nv, 3,
+                                            VERTEX_DATA_BITANGENT)) != 0:
+                return err
 
         # Material registration (dedup by name).
         if mat_name not in mat_index:
@@ -257,4 +280,4 @@ def load_model(path: str, scene: Scene, scale: float = 1.0) -> bool:
         f"Loaded {path}: {len(data.groups)} group(s), "
         f"{total_verts} vertices, {total_faces} faces"
     )
-    return True
+    return ERROR_ALL_FINE

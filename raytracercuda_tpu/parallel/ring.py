@@ -24,12 +24,15 @@ Design (ring pass-the-shard, the ray-tracing analog of ring attention):
     no device ever materializes more than two shards (the one it sweeps
     and the one arriving).
 
-Tie behavior matches the single-chip sweep exactly: shards circulate in
-cluster order starting from each band's own index — but closest-hit
-combination is by strict ``t`` comparison on disjoint triangle subsets,
-and within a shard the sweep resolves equal-``t`` ties to the lowest
-cluster index, so the fp result is bit-identical to the replicated path
-(asserted in `tests/test_ring.py`).
+Tie behavior matches the single-chip sweep exactly, by construction:
+within a shard the sweep resolves equal-``t`` ties to the lowest cluster
+index (same code as the replicated path), and ACROSS shards the combine
+carries the global shard index of the current best and breaks exact-``t``
+ties toward the LOWER shard.  Shards are contiguous cluster ranges, so
+lower shard == lower global cluster index — the replicated sweep's own
+tie rule.  The result is therefore bit-identical to the replicated path
+regardless of the order shards visit each device (asserted in
+`tests/test_ring.py`, including a cross-shard duplicated-triangle tie).
 
 The reference has no analog (single GPU, whole scene resident,
 `SceneTree.cpp:61-67` prints the one-device memory budget); SURVEY.md §5
@@ -67,22 +70,27 @@ def pad_clusters_for_ring(cs: ClusterSet, n: int) -> ClusterSet:
     """Pad the cluster count to a multiple of ``n`` with degenerate
     (all-miss) clusters so the leading axis shards evenly.
 
-    Padding clusters carry +/-inf AABBs (never enter any slab test),
-    zero triangles (zero determinant, miss every ray), and ``-1`` face
-    ids — the same conventions as `build_clusters`' tail padding."""
+    Padding clusters carry a far-away POINT box (cmin == cmax == 3e37):
+    the per-axis min/max slab test gives tnear > tfar for any ray not
+    aimed exactly at that corner, so the cull rejects padding up front.
+    (+/-inf boxes would invert to tnear=-inf/tfar=+inf under the same
+    min/max and survive EVERY cull — correct results, but a full wasted
+    cluster sweep per ring step.)  Zero triangles (degenerate det, miss
+    every ray) and ``-1`` face ids keep the sweep itself all-miss —
+    `build_clusters`' tail-padding conventions."""
     C, L = cs.num_clusters, cs.cluster_size
     rem = (-C) % n
     if rem == 0:
         return cs
-    inf = jnp.inf
+    far = 3.0e37
 
     def pad0(x, fill):
         widths = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths, constant_values=fill)
 
     return ClusterSet(
-        cmin=pad0(cs.cmin, inf),
-        cmax=pad0(cs.cmax, -inf),
+        cmin=pad0(cs.cmin, far),
+        cmax=pad0(cs.cmax, far),
         tris=pad0(cs.tris, 0.0),
         normal=pad0(cs.normal, 0.0),
         face_order=jnp.pad(cs.face_order, (0, rem * L), constant_values=-1),
@@ -90,15 +98,21 @@ def pad_clusters_for_ring(cs: ClusterSet, n: int) -> ClusterSet:
     )
 
 
-def _combine(a: Hit, b: Hit) -> Hit:
-    """Closest-of-two on disjoint triangle subsets (strict <: first wins)."""
-    closer = b.t < a.t
+def _combine(a: Hit, a_src: jnp.ndarray, b: Hit, b_src: jnp.ndarray):
+    """Closest-of-two on disjoint triangle subsets.
+
+    Strict ``<`` plus an exact-``t`` tie-break toward the LOWER global
+    shard index: shards are contiguous cluster ranges, so this reproduces
+    the replicated sweep's lowest-cluster-index tie rule bit-for-bit —
+    independent of the order shards arrive on the ring."""
+    tie = (b.t == a.t) & (b.face >= 0) & (b_src < a_src)
+    closer = (b.t < a.t) | tie
     return Hit(
         t=jnp.where(closer, b.t, a.t),
         u=jnp.where(closer, b.u, a.u),
         v=jnp.where(closer, b.v, a.v),
         face=jnp.where(closer, b.face, a.face),
-    )
+    ), jnp.where(closer, b_src, a_src)
 
 
 def _ring_local(cs_shard: ClusterSet, origin: jnp.ndarray,
@@ -107,28 +121,32 @@ def _ring_local(cs_shard: ClusterSet, origin: jnp.ndarray,
                 cluster_chunk: int) -> Hit:
     """Per-device body: sweep resident rays against each visiting shard."""
     perm = [(j, (j + 1) % n) for j in range(n)]
+    # Device i receives from i-1, so at step k it holds shard (i-k) mod n.
+    me = jax.lax.axis_index(RING_AXIS)
     best0 = Hit(
         t=jnp.full(origin.shape[:1], FLT_MAX, jnp.float32),
         u=jnp.zeros(origin.shape[:1], jnp.float32),
         v=jnp.zeros(origin.shape[:1], jnp.float32),
         face=jnp.full(origin.shape[:1], -1, jnp.int32),
     )
+    src0 = jnp.full(origin.shape[:1], n, jnp.int32)
 
-    def step(_, carry):
-        best, shard = carry
+    def step(k, carry):
+        best, best_src, shard = carry
         h = trace_clusters_rays(
             shard, origin, dirs, trace_cfg,
             ray_chunk=min(ray_chunk, origin.shape[0]),
             cluster_chunk=min(cluster_chunk, shard.num_clusters),
             active=active)
-        best = _combine(best, h)
+        s = jnp.broadcast_to((me - k) % n, best_src.shape).astype(jnp.int32)
+        best, best_src = _combine(best, best_src, h, s)
         shard = jax.lax.ppermute(shard, RING_AXIS, perm)
-        return best, shard
+        return best, best_src, shard
 
     if n == 1:
-        best, _ = step(0, (best0, cs_shard))
+        best, _, _ = step(0, (best0, src0, cs_shard))
         return best
-    best, _ = jax.lax.fori_loop(0, n, step, (best0, cs_shard))
+    best, _, _ = jax.lax.fori_loop(0, n, step, (best0, src0, cs_shard))
     return best
 
 

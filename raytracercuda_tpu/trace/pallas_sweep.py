@@ -60,6 +60,10 @@ from .dense import (
 N_BUF = 4
 DMA_DEPTH = 3
 
+# Smallest normal float32: dets below this overflow 1/det to inf, which a
+# zero numerator turns into NaN t — treat as degenerate (miss).
+_DET_TINY = 1.1754944e-38
+
 
 def segment_blocks(cs: ClusterSet) -> jnp.ndarray:
     """``[C, 16, G]`` component-major triangle blocks (9 rows: v0|e1|e2
@@ -96,11 +100,15 @@ def _mt_rows(tri, ox, oy, oz, dx, dy, dz, t_eps):
     v = (dx * qvx + dy * qvy + dz * qvz) * inv
     t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
     miss = (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
-    # det==0 is the only finite-input source of NaN u/v/t (0 * inf); a
-    # nonzero numerator over det==0 gives +/-inf, which the range tests
-    # already reject — so one compare replaces the oracle's three isnan
-    # guards with identical outcomes (`ops/math.tri_intersect:103-106`).
-    miss = miss | (det == 0.0)
+    # |det| below the smallest normal is the only finite-input source of
+    # NaN t (1/det overflows to inf; a zero numerator then gives 0*inf).
+    # A nonzero numerator over a degenerate det gives +/-inf, which the
+    # range tests already reject — so one magnitude compare replaces the
+    # oracle's three isnan guards (`ops/math.tri_intersect:103-106`).
+    # det==0 alone is NOT enough: a subnormal det (|det| < 2^-126) also
+    # overflows 1/det, and the resulting NaN t would poison the kernel's
+    # min/argmin combine for the whole block.
+    miss = miss | (jnp.abs(det) < _DET_TINY)
     if t_eps is not None:
         miss = miss | (t < t_eps)
     t = jnp.where(miss, FLT_MAX, t)
@@ -705,9 +713,10 @@ def _mt_cols(tri, ox, oy, oz, dx, dy, dz, t_eps):
     v = (dx * qvx + dy * qvy + dz * qvz) * inv
     t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
     miss = (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
-    # One det==0 compare replaces three isnan guards — identical outcomes
-    # for finite inputs (see `_mt_rows`).
-    miss = miss | (det == 0.0)
+    # One |det|-below-smallest-normal compare replaces three isnan guards
+    # — covers det==0 AND subnormal det whose 1/det overflows (see
+    # `_mt_rows` for the full argument).
+    miss = miss | (jnp.abs(det) < _DET_TINY)
     if t_eps is not None:
         miss = miss | (t < t_eps)
     t = jnp.where(miss, FLT_MAX, t)

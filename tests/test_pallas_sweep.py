@@ -162,3 +162,34 @@ def test_fused_trace_shade_matches_generic():
                                np.asarray(uv_ref)[m], rtol=1e-5, atol=1e-6)
     # tex id column: material 1 has texture 0.
     np.testing.assert_allclose(np.asarray(tex_uv)[m, 0], 0.0)
+
+
+def test_mt_subnormal_det_is_miss_not_nan():
+    """A subnormal (nonzero) determinant overflows 1/det to inf; with the
+    ray origin on the triangle vertex the zero numerator then gives
+    t = 0*inf = NaN, which would poison the kernel's min/argmin combine.
+    The |det| < smallest-normal guard must flag it as a miss (r3 advisor
+    finding)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from raytracercuda_tpu.trace.pallas_sweep import _mt_cols, _mt_rows
+    from raytracercuda_tpu.types import FLT_MAX
+
+    one = jnp.ones((1, 1), jnp.float32)
+    z = jnp.zeros((1, 1), jnp.float32)
+    det = np.float32(1e-20) * np.float32(1e-20)
+    assert det != 0.0 and det < 1.1754944e-38  # subnormal, not zero
+    # v0 at origin; e1/e2 tiny so det = e1 . (d x e2) is subnormal.
+    # _mt_rows takes a [16, G] v0|e1|e2 block; _mt_cols takes the 9-tuple.
+    block = np.zeros((16, 1), np.float32)
+    block[3, 0] = 1e-20  # e1.x
+    block[7, 0] = 1e-20  # e2.y
+    t, u, v = _mt_rows(jnp.asarray(block), z, z, z, z, z, one, t_eps=1e-5)
+    t = np.asarray(t)
+    assert np.isfinite(t).all(), "_mt_rows produced NaN/inf t"
+    assert (t == FLT_MAX).all(), "_mt_rows did not miss"
+    tri = (z, z, z, one * 1e-20, z, z, z, one * 1e-20, z)
+    t, u, v = _mt_cols(tri, z, z, z, z, z, one, t_eps=1e-5)
+    t = np.asarray(t)
+    assert np.isfinite(t).all(), "_mt_cols produced NaN/inf t"
+    assert (t == FLT_MAX).all(), "_mt_cols did not miss"

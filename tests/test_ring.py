@@ -105,3 +105,65 @@ def test_ring_pads_uneven_rays():
     ref = trace_clusters_rays(cs, origin[:r], dirs, TraceConfig())
     np.testing.assert_array_equal(np.asarray(got.face[:r]),
                                   np.asarray(ref.face))
+
+
+def test_ring_cross_shard_exact_tie_matches_replicated():
+    """The SAME triangle planted in shard 0 and shard 7 produces an exact
+    t tie across shards; the ring's combine must resolve it toward the
+    lower global shard index — the replicated sweep's lowest-cluster-index
+    rule — regardless of the order shards visit each device."""
+    L = 8
+    tri = np.array([[-1.0, -1.0, 3.0, 2.0, -1.0, 3.0, -1.0, 2.0, 3.0]],
+                   np.float32)
+    tris = np.zeros((8, L, 9), np.float32)
+    tris[0, 0] = tri  # face id 5, cluster 0
+    tris[7, 0] = tri  # face id 9, cluster 7 — identical geometry
+    v = tri.reshape(3, 3)
+    nrm = np.cross(v[1] - v[0], v[2] - v[0]).astype(np.float32)
+    normal = np.zeros((8, L, 3), np.float32)
+    normal[0, 0] = nrm
+    normal[7, 0] = nrm
+    cmin = np.full((8, 3), 3.0e37, np.float32)
+    cmax = np.full((8, 3), 3.0e37, np.float32)
+    cmin[0] = cmax[0] = 0  # real boxes for the two live clusters
+    cmin[[0, 7]] = v.min(axis=0)
+    cmax[[0, 7]] = v.max(axis=0)
+    face_order = np.full(8 * L, -1, np.int32)
+    face_order[0] = 5
+    face_order[7 * L] = 9
+    from raytracercuda_tpu.accel.clusters import ClusterSet
+
+    cs = ClusterSet(cmin=jnp.asarray(cmin), cmax=jnp.asarray(cmax),
+                    tris=jnp.asarray(tris), normal=jnp.asarray(normal),
+                    face_order=jnp.asarray(face_order), tri_blocks=None)
+    rays = camera_ray_grid(8, 8)
+    dirs = rotate_rays(rays, jnp.eye(3))
+    origin = jnp.zeros_like(dirs)
+    ref = trace_clusters_rays(cs, origin, dirs, TraceConfig())
+    assert bool(jnp.any(ref.face == 5)) and not bool(jnp.any(ref.face == 9))
+    mesh = make_ring_mesh(8)
+    got = trace_ring_sharded(cs, origin, dirs, mesh, TraceConfig())
+    np.testing.assert_array_equal(np.asarray(got.face), np.asarray(ref.face))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+
+
+def test_ring_padding_clusters_get_culled():
+    """`pad_clusters_for_ring` pads with far-away point boxes that the
+    slab cull rejects — not inverted +/-inf boxes that survive every
+    cull (r3 advisor finding)."""
+    positions, faces = random_tri_soup(n=10, seed=7)
+    cs = build_clusters(positions, faces, ClusterConfig(cluster_size=16))
+    cs8 = pad_clusters_for_ring(cs, 8)
+    pad = cs8.num_clusters - cs.num_clusters
+    assert pad > 0
+    # The padding boxes are point boxes far outside any scene.
+    assert bool(jnp.all(cs8.cmin[cs.num_clusters:] == 3.0e37))
+    assert bool(jnp.all(cs8.cmax[cs.num_clusters:] == 3.0e37))
+    # And a frame's rays cull them: slab entry test fails for every ray.
+    rays = camera_ray_grid(4, 4)
+    d = np.asarray(rotate_rays(rays, jnp.eye(3)))
+    inv = np.where(d == 0.0, 3.0e37, 1.0 / d)
+    t0 = (3.0e37 - 0.0) * inv
+    tnear = np.max(np.minimum(t0, t0), axis=-1)
+    tfar = np.min(np.maximum(t0, t0), axis=-1)
+    assert not np.any(tfar >= np.maximum(tnear, 0.0))
