@@ -170,6 +170,24 @@ class TraceConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DiffConfig:
+    """Differentiable-rendering estimator knobs (`diff/`).
+
+    The default stop-grad/recompute VJPs are exact for interior pixels
+    only; ``silhouette=True`` adds the edge-sampling boundary term
+    (`diff/edge_grad.py`) so gradients also capture coverage changes at
+    silhouettes — the derivative of the box-filtered image."""
+
+    #: Include the silhouette boundary term in backward passes routed
+    #: through `render_rgb_silhouette`.
+    silhouette: bool = True
+    #: Deterministic stratified samples per silhouette edge.
+    edge_samples: int = 4
+    #: Radiance-probe offset from the edge, as a fraction of pixel size.
+    edge_offset_px: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
 class RenderConfig:
     """Top-level framework configuration (replaces `Types.h` + knob defines)."""
 
@@ -179,6 +197,7 @@ class RenderConfig:
     grid: GridConfig = dataclasses.field(default_factory=GridConfig)
     wavefront: WavefrontConfig = dataclasses.field(default_factory=WavefrontConfig)
     trace: TraceConfig = dataclasses.field(default_factory=TraceConfig)
+    diff: DiffConfig = dataclasses.field(default_factory=DiffConfig)
 
 
 DEFAULT_CONFIG = RenderConfig()

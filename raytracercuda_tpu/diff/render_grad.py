@@ -303,6 +303,113 @@ def _occlusion_nondiff(scene, accel, hit, origin, dirs, config, light_dir,
 render_rgb_vjp.defvjp(_render_vjp_fwd, _render_vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Silhouette-aware VJP: interior term + edge-sampling boundary term.
+#
+# `render_rgb_silhouette` differentiates the BOX-FILTERED pixel model:
+# the forward pass is the ordinary center-sample render (identical values
+# to `render_rgb`), but the backward pass adds the silhouette boundary
+# integral (`diff/edge_grad.py`), so finite differences of a
+# SUPERSAMPLED (pixel-footprint-averaged) render agree with these
+# gradients at coverage flips — the silhouette case `render_rgb_vjp`
+# explicitly excludes.  Gated by ``RenderConfig.diff`` (`DiffConfig`):
+# ``silhouette=False`` reduces exactly to the interior-only estimator.
+# ---------------------------------------------------------------------------
+
+
+def render_rgb_silhouette(
+    scene: SceneData,
+    accel,
+    eye: jnp.ndarray,
+    orient: jnp.ndarray,
+    config: RenderConfig,
+    width: int,
+    height: int,
+    zoom: float = 1.0,
+    shading: str = "lambert",
+    light_dir=(0.4, 0.8, -0.45),
+    edge_table=None,
+):
+    """Differentiable pinhole render whose backward pass includes the
+    silhouette (coverage) boundary term -> float RGB ``[H*W, 3]``.
+
+    Must be called OUTSIDE jit when ``edge_table`` is None (the static
+    edge topology is extracted host-side); pass a precomputed
+    ``build_edge_table(faces)`` result to use inside traced code.  The
+    boundary probes ignore shadows (the interior term carries them);
+    shadow-boundary gradients are not modeled."""
+    import numpy as np
+
+    from .edge_grad import build_edge_table
+
+    if edge_table is None:
+        edge_table = build_edge_table(np.asarray(scene.faces))
+    ev, ef = (jnp.asarray(t) for t in edge_table)
+    from ..models.camera import camera_ray_grid
+
+    rays = camera_ray_grid(width, height, zoom=zoom)
+    return _render_silhouette_vjp(scene, accel, ev, ef, rays, eye, orient,
+                                  config, width, height, zoom, shading,
+                                  tuple(light_dir))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _render_silhouette_vjp(scene, accel, edge_vids, edge_faces, rays, eye,
+                           orient, config, width, height, zoom, shading,
+                           light_dir):
+    return render_rgb(scene, accel, rays, eye, orient, config,
+                      shading=shading, light_dir=light_dir,
+                      frame_hw=(height, width))
+
+
+def _render_silhouette_fwd(scene, accel, edge_vids, edge_faces, rays, eye,
+                           orient, config, width, height, zoom, shading,
+                           light_dir):
+    out = render_rgb(scene, accel, rays, eye, orient, config,
+                     shading=shading, light_dir=light_dir,
+                     frame_hw=(height, width))
+    dirs = rotate_rays(rays, orient)
+    origin = jnp.broadcast_to(eye[None, :], dirs.shape)
+    face_ids = hit_ids_nondiff(scene, accel, origin, dirs, config,
+                               frame_hw=(height, width), common_origin=eye)
+    return out, (scene, accel, edge_vids, edge_faces, rays, eye, orient,
+                 face_ids)
+
+
+def _render_silhouette_bwd(config, width, height, zoom, shading, light_dir,
+                           residual, g):
+    from .edge_grad import boundary_vjp
+
+    (scene, accel, edge_vids, edge_faces, rays, eye, orient,
+     face_ids) = residual
+    _, vjp = jax.vjp(
+        lambda sc, r, e, o: _render_fixed_ids(
+            sc, r, e, o, face_ids, None, config, shading, light_dir),
+        scene, rays, eye, orient,
+    )
+    d_scene, d_rays, d_eye, d_orient = vjp(g)
+    if config.diff.silhouette:
+        d_pos, d_eye_b, d_orient_b = boundary_vjp(
+            g, scene, accel, edge_vids, edge_faces, eye, orient, config,
+            width, height, zoom=zoom,
+            num_samples=config.diff.edge_samples,
+            offset_px=config.diff.edge_offset_px, shading=shading,
+            light_dir=light_dir)
+        d_scene = d_scene._replace(positions=d_scene.positions + d_pos)
+        d_eye = d_eye + d_eye_b
+        d_orient = d_orient + d_orient_b
+    import numpy as np
+
+    d_accel = jax.tree_util.tree_map(jnp.zeros_like, accel)
+    zeros_int = tuple(np.zeros(x.shape, jax.dtypes.float0)
+                      for x in (edge_vids, edge_faces))
+    return (d_scene, d_accel, zeros_int[0], zeros_int[1], d_rays, d_eye,
+            d_orient)
+
+
+_render_silhouette_vjp.defvjp(_render_silhouette_fwd, _render_silhouette_bwd)
+
+
 def l2_image_loss(
     scene: SceneData,
     accel,
