@@ -55,6 +55,11 @@ class RenderTarget:
             RenderTarget._current = None
         return ERROR_ALL_FINE
 
+    @property
+    def locked(self) -> bool:
+        """Whether this target is currently mapped for writing."""
+        return self._locked
+
     @staticmethod
     def get() -> Optional["RenderTarget"]:
         """Process-global current target (`RenderTarget.cpp:85-91`)."""

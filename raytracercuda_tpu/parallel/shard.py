@@ -89,7 +89,8 @@ def render_sharded(
 
 def make_train_step(config: RenderConfig, mesh: Mesh, optimizer=None,
                     shading: str = "lambert", with_shadows: bool = False,
-                    frame_hw: tuple[int, int] | None = None):
+                    frame_hw: tuple[int, int] | None = None,
+                    psum_grads: bool = True):
     """Build a jitted distributed training step for inverse rendering.
 
     The returned ``step(params, opt_state, scene, accel, rays, eye,
@@ -99,6 +100,11 @@ def make_train_step(config: RenderConfig, mesh: Mesh, optimizer=None,
     grafted onto the (replicated) scene before rendering.  Gradients are
     ``psum``-reduced over the ray axis inside shard_map, so each chip
     holds identical updated parameters afterwards.
+
+    ``psum_grads=False`` skips the gradient/loss all-reduce — the
+    resulting step is WRONG on >1 device (per-shard gradients diverge)
+    and exists only so `scripts/bench_overheads.py` can measure the
+    isolated collective cost by differencing the two variants.
     """
     import optax
 
@@ -138,8 +144,9 @@ def make_train_step(config: RenderConfig, mesh: Mesh, optimizer=None,
         )
         # Gradient all-reduce over ICI (`psum`), overlapped by XLA with the
         # rest of backward — the analog the reference never had.
-        grads = jax.lax.psum(grads, RAY_AXIS)
-        loss = jax.lax.psum(loss, RAY_AXIS)
+        if psum_grads:
+            grads = jax.lax.psum(grads, RAY_AXIS)
+            loss = jax.lax.psum(loss, RAY_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -287,3 +287,56 @@ def test_silhouette_gradients_disagree_with_fd():
     # term the analytic gradient must NOT contain.
     assert abs(fd) > 1.0, f"fixture too weak: fd={fd}"
     assert abs(analytic) < 0.05 * abs(fd), (analytic, fd)
+
+
+def test_fused_shade_matches_generic_route_textured():
+    """The fused row-gather shade (`_rows_recompute_shade`, the 1024²
+    fast path) must match the generic recompute_hit + shade_lambert_rgb
+    route on a TEXTURED scene — including the quad-row bilinear fetch
+    (vs sample_texture's four scattered taps) — to fp-noise tolerance,
+    and its gradients must preserve exact-zero structure."""
+    from raytracercuda_tpu.diff.render_grad import (_rows_recompute_shade,
+                                                    hit_nondiff,
+                                                    recompute_hit)
+    from raytracercuda_tpu.trace.pipeline import rotate_rays
+    from raytracercuda_tpu.trace.shade import shade_lambert_rgb
+
+    scene = tilted_tri_scene()
+    uvs = jnp.asarray(np.array([[0.05, 0.1], [0.92, 0.13], [0.5, 0.95]],
+                               np.float32))
+    rng = np.random.default_rng(3)
+    scene = scene._replace(
+        attrs={**scene.attrs, 2: uvs},
+        texture_id=jnp.asarray([0], jnp.int32),
+        textures=jnp.asarray(rng.random((1, 8, 8, 3), np.float32)),
+    )
+    dirs = rotate_rays(RAYS, ORIENT)
+    origin = jnp.broadcast_to(EYE[None, :], dirs.shape)
+    ids = hit_nondiff(scene, None, origin, dirs, BRUTE).face
+    assert int((ids >= 0).sum()) > 10
+
+    fused, _, _ = _rows_recompute_shade(scene, ids, EYE, dirs,
+                                        (0.4, 0.8, -0.45),
+                                        rays=RAYS, orient=ORIENT)
+    hit = recompute_hit(scene, ids, origin, dirs)
+    generic = shade_lambert_rgb(scene, hit, origin, dirs)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(generic),
+                               rtol=2e-5, atol=2e-6)
+
+    # Gradient zero-structure parity (adam amplifies ANY spurious nonzero
+    # into a full-lr step — the r4 regression this guards against).
+    def loss_fused(pos):
+        img, _, _ = _rows_recompute_shade(
+            scene._replace(positions=pos), ids, EYE, dirs,
+            (0.4, 0.8, -0.45), rays=RAYS, orient=ORIENT)
+        return jnp.sum(img ** 2)
+
+    def loss_generic(pos):
+        sc = scene._replace(positions=pos)
+        h = recompute_hit(sc, ids, origin, dirs)
+        return jnp.sum(shade_lambert_rgb(sc, h, origin, dirs) ** 2)
+
+    gf = np.asarray(jax.grad(loss_fused)(scene.positions))
+    gg = np.asarray(jax.grad(loss_generic)(scene.positions))
+    np.testing.assert_allclose(gf, gg, rtol=1e-3, atol=1e-6)
+    np.testing.assert_array_equal(gf == 0, gg == 0)
