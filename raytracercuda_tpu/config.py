@@ -110,6 +110,10 @@ class WavefrontConfig:
     max_hits_per_ray: int = 16
     #: Rounds of queue expansion before compaction.
     rounds_per_compaction: int = 8
+    #: Rays per sequential block — bounds stage B's [rays, Q*K, 3]
+    #: intermediates (minor dims pad to 128 lanes on TPU; a whole 512²
+    #: frame in one batch requested 34 GB of HBM).
+    ray_chunk: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)

@@ -48,9 +48,42 @@ def trace_wavefront(
     wf_cfg: WavefrontConfig = WavefrontConfig(),
 ) -> Hit:
     """Closest hit via round-based wavefront traversal.  Produces results
-    identical to `trace_bvh` (validated against the brute-force oracle)."""
+    identical to `trace_bvh` (validated against the brute-force oracle).
+
+    Rays are processed in ``wf_cfg.ray_chunk`` blocks: stage B's batched
+    face test materializes [rays, Q*K, 3] intermediates whose minor dim
+    pads to 128 lanes — at full-frame ray counts that exceeded HBM
+    (34 GB requested at 512²; the whole-bundle formulation only ever ran
+    at test scale before r4)."""
     if origin.ndim == 1:
         origin = jnp.broadcast_to(origin[None, :], direction.shape)
+    num_rays = direction.shape[0]
+    chunk = min(wf_cfg.ray_chunk, num_rays)
+    if num_rays > chunk:
+        pad = (-num_rays) % chunk
+        o = jnp.pad(origin, ((0, pad), (0, 0)))
+        d = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
+        hits = jax.lax.map(
+            lambda od: _trace_wavefront_chunk(
+                bvh, positions, faces, od[0], od[1], cfg, trace_cfg, wf_cfg),
+            (o.reshape(-1, chunk, 3), d.reshape(-1, chunk, 3)),
+        )
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape(-1)[:num_rays], hits)
+    return _trace_wavefront_chunk(bvh, positions, faces, origin, direction,
+                                  cfg, trace_cfg, wf_cfg)
+
+
+def _trace_wavefront_chunk(
+    bvh: Bvh,
+    positions: jnp.ndarray,
+    faces: jnp.ndarray,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    cfg: BvhConfig,
+    trace_cfg: TraceConfig,
+    wf_cfg: WavefrontConfig,
+) -> Hit:
     num_rays = direction.shape[0]
     inv_dir = 1.0 / direction
     t_eps = jnp.float32(trace_cfg.t_epsilon)

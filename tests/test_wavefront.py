@@ -54,3 +54,25 @@ def test_wavefront_tiny_queue_still_exact():
 
 def test_wavefront_single_leaf_queue():
     _check(40, seed=23, q_cap=1, leaf_faces=1)
+
+
+def test_wavefront_ray_chunking_matches_unchunked():
+    """Frame-scale ray counts run in ray_chunk blocks (the whole-bundle
+    formulation OOMed at 512² — r4); chunked results must equal the
+    single-chunk path exactly, including the padded tail."""
+    import dataclasses
+
+    from raytracercuda_tpu.config import TraceConfig
+    from raytracercuda_tpu.models.camera import camera_ray_grid
+
+    positions, faces = _mesh(60, seed=2)
+    bvh = build_bvh(positions, faces, BvhConfig())
+    rays = camera_ray_grid(20, 20)  # 400 rays
+    origin = jnp.zeros_like(rays)
+    small = WavefrontConfig(ray_chunk=128)  # 400 -> 4 chunks, padded tail
+    a = trace_wavefront(bvh, positions, faces, origin, rays,
+                        BvhConfig(), TraceConfig(), small)
+    b = trace_wavefront(bvh, positions, faces, origin, rays,
+                        BvhConfig(), TraceConfig(), WavefrontConfig())
+    np.testing.assert_array_equal(np.asarray(a.face), np.asarray(b.face))
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
