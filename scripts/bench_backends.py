@@ -140,13 +140,20 @@ def main():
                                           origin, dirs, config.bvh, tc))
 
     if want("grid-dda"):
+        import dataclasses
+
         from raytracercuda_tpu.accel.grid import build_grid
         from raytracercuda_tpu.trace.grid_march import trace_grid
 
+        # The reference's CELL_RES=0.03 is tuned to ITS content scale
+        # (`Hash.cu:8`); at the bunny's native units that packs the whole
+        # mesh into a handful of cells and the DDA faults the device.
+        # Scale the cell edge to ~1/48 of the scene extent instead.
+        gcfg = dataclasses.replace(config.grid, cell_res=extent / 48.0)
         bench("grid-dda",
-              lambda: build_grid(data.positions, data.faces, config.grid),
+              lambda: build_grid(data.positions, data.faces, gcfg),
               lambda g: trace_grid(g, data.positions, data.faces, origin,
-                                   dirs, config.grid, tc))
+                                   dirs, gcfg, tc))
 
     if want("brute-pallas"):
         from raytracercuda_tpu.trace.pallas_brute import trace_brute_pallas
