@@ -164,8 +164,17 @@ def main():
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BACKENDS.json")
+    # Merge by backend name so a subset rerun (argv filter) updates its
+    # rows without dropping the rest of the table.
+    try:
+        with open(path) as f:
+            merged = {r["backend"]: r for r in json.load(f)}
+    except Exception:
+        merged = {}
+    for r in RESULTS:
+        merged[r["backend"]] = r
     with open(path, "w") as f:
-        json.dump(RESULTS, f, indent=1)
+        json.dump(list(merged.values()), f, indent=1)
     print("wrote", path)
     print("\n| backend | build ms | march ms | Mrays/s | hit frac |")
     print("|---|---|---|---|---|")
