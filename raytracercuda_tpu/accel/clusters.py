@@ -70,6 +70,12 @@ class ClusterSet(NamedTuple):
     #: cached here when L is lane-aligned so frames never rebuild them
     #: (r2 advisor finding: the pipeline re-materialized them per trace).
     tri_blocks: jnp.ndarray | None = None
+    #: [F] int32 or None — inverse of ``face_order``: original face id ->
+    #: Morton-sorted slot.  The differentiable route keys its backward
+    #: scatter windows on slot space (pixel tiles hit Morton-contiguous
+    #: slots; see `diff/scatter.py`), so the inverse permutation is
+    #: computed once at build time.
+    face_rank: jnp.ndarray | None = None
 
     @property
     def num_clusters(self) -> int:
@@ -136,7 +142,8 @@ def build_clusters(
         tri_blocks = jnp.pad(edges.transpose(0, 2, 1),
                              ((0, 0), (0, 7), (0, 0)))
     return ClusterSet(cmin=cmin, cmax=cmax, tris=tris, normal=normal,
-                      face_order=face_order, tri_blocks=tri_blocks)
+                      face_order=face_order, tri_blocks=tri_blocks,
+                      face_rank=jnp.argsort(order).astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------

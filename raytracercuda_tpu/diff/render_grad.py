@@ -42,6 +42,16 @@ def _stop_grad_scene(scene: SceneData) -> SceneData:
     return jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
 
 
+#: Tile shape/window for the coalesced backward scatter
+#: (`diff/scatter.py`): 256 consecutive row-major pixels per tile, two
+#: 2048-slot windows each (strays fall back exactly).
+_SCATTER_B = 256
+_SCATTER_WINDOW = 2048
+#: Test hook: force the tiled-gather route off-TPU (runs the Pallas
+#: backward through the interpreter).
+_FORCE_TILED = False
+
+
 def hit_nondiff(
     scene: SceneData,
     accel,
@@ -99,7 +109,8 @@ def recompute_hit(
 
 def _rows_recompute_shade(scene, face_ids, eye, dirs, light_dir,
                           shadow_mask=None, ambient: float = 0.08,
-                          background=(0.0, 1.0, 0.0), rays=None, orient=None):
+                          background=(0.0, 1.0, 0.0), rays=None, orient=None,
+                          accel=None):
     """Differentiable recompute+shade as ONE row gather + planar math.
 
     The generic route (`recompute_hit` + `shade_lambert_rgb`) costs ~5
@@ -120,8 +131,34 @@ def _rows_recompute_shade(scene, face_ids, eye, dirs, light_dir,
     When ``rays``+``orient`` are given, directions are produced PLANAR
     via one einsum (gradients flow to ``orient``); otherwise ``dirs``
     [N,3] is transposed.  Returns float RGB ``[N,3]``.
+
+    When ``accel`` carries a ``face_rank`` (the cluster build's inverse
+    Morton permutation), the row table is built in SLOT order and both
+    per-ray gathers route through `diff.scatter.gather_rows_tiled`: the
+    backward then scatters into narrow per-tile windows with a Pallas
+    one-hot-matmul kernel instead of XLA's serial scatter — the fix for
+    the r4 grad-step wall (78 + 96 ms of scatter at 1024²).
     """
     f = scene.faces
+    num_rays = face_ids.shape[0]
+    use_tiled = (
+        accel is not None
+        and getattr(accel, "face_rank", None) is not None
+        and num_rays % _SCATTER_B == 0
+        and (jax.default_backend() == "tpu" or _FORCE_TILED)
+    )
+    if use_tiled:
+        from .scatter import gather_rows_tiled
+
+        # Slot-ordered face table: pixel tiles hit Morton-contiguous
+        # slots, which is what makes the backward windows narrow.
+        order = jnp.maximum(accel.face_order[:f.shape[0]], 0)
+        f = f[order]
+        ids = accel.face_rank[jnp.maximum(face_ids, 0)]
+        ids = jnp.where(face_ids < 0, -1, ids)
+        tile_shape = (num_rays // _SCATTER_B, _SCATTER_B)
+    else:
+        ids = face_ids
     pos = scene.positions
     v0 = pos[f[:, 0]]
     e1 = pos[f[:, 1]] - v0
@@ -137,7 +174,10 @@ def _rows_recompute_shade(scene, face_ids, eye, dirs, light_dir,
         cols += [uv[f[:, 0], :2], uv[f[:, 1], :2], uv[f[:, 2], :2]]
     rows = jnp.concatenate(cols, axis=1)  # [F, 22(+6)]
 
-    r = rows[jnp.maximum(face_ids, 0)]  # the ONE per-ray gather
+    if use_tiled:
+        r = gather_rows_tiled(rows, ids, _SCATTER_WINDOW, tile_shape)
+    else:
+        r = rows[jnp.maximum(ids, 0)]  # the ONE per-ray gather
     rT = r.T  # [D, N]: columns become full-lane [N] planes
     c = [rT[i] for i in range(rT.shape[0])]
     if rays is not None and orient is not None:
@@ -214,7 +254,14 @@ def _rows_recompute_shade(scene, face_ids, eye, dirs, light_dir,
         ax = fu - x0
         ay = fv - y0
         tid = jnp.clip(tex_id, 0, tcount - 1)
-        q = flat[(tid * th + y0) * tw + x0].T  # [12, N] planar
+        qidx = (tid * th + y0) * tw + x0
+        if use_tiled:
+            # Texel indices are uv-coherent per pixel tile — same
+            # windowed backward as the attribute rows.
+            q = gather_rows_tiled(flat, qidx, _SCATTER_WINDOW,
+                                  tile_shape).T
+        else:
+            q = flat[qidx].T  # [12, N] planar
         texd = tex_id >= 0
         for ch, albedo_ch in enumerate((ar, ag, ab)):
             top = q[ch] * (1 - ax) + q[3 + ch] * ax
@@ -280,7 +327,8 @@ def render_rgb(
     if VERTEX_DATA_NORMAL in scene.attrs:
         rgb, _, _ = _rows_recompute_shade(scene, face_ids, eye, dirs,
                                           light_dir, shadow_mask,
-                                          rays=initial_rays, orient=orient)
+                                          rays=initial_rays, orient=orient,
+                                          accel=accel)
         return rgb
 
     hit = recompute_hit(scene, face_ids, origin, dirs)
@@ -382,7 +430,7 @@ def _occlusion_from_hit(scene, accel, hit_nd, origin, dirs, l, config,
 
 
 def _render_fixed_ids(scene, initial_rays, eye, orient, face_ids, shadow_mask,
-                      config, shading, light_dir):
+                      config, shading, light_dir, accel=None):
     """The differentiable part of the render, for FIXED combinatorics."""
     from ..trace.shade import shade_lambert_rgb, shade_normal_rgb
 
@@ -394,7 +442,8 @@ def _render_fixed_ids(scene, initial_rays, eye, orient, face_ids, shadow_mask,
     if VERTEX_DATA_NORMAL in scene.attrs:
         rgb, _, _ = _rows_recompute_shade(scene, face_ids, eye, dirs,
                                           light_dir, shadow_mask,
-                                          rays=initial_rays, orient=orient)
+                                          rays=initial_rays, orient=orient,
+                                          accel=accel)
         return rgb
     hit = recompute_hit(scene, face_ids, origin, dirs)
     return shade_lambert_rgb(scene, hit, origin, dirs, light_dir=light_dir,
@@ -441,7 +490,8 @@ def _render_vjp_bwd(config, shading, with_shadows, light_dir, frame_hw,
     scene, accel, initial_rays, eye, orient, face_ids, shadow_mask = residual
     _, vjp = jax.vjp(
         lambda sc, rays, e, o: _render_fixed_ids(
-            sc, rays, e, o, face_ids, shadow_mask, config, shading, light_dir
+            sc, rays, e, o, face_ids, shadow_mask, config, shading, light_dir,
+            accel=accel
         ),
         scene, initial_rays, eye, orient,
     )
@@ -543,7 +593,8 @@ def _render_silhouette_bwd(config, width, height, zoom, shading, light_dir,
      face_ids) = residual
     _, vjp = jax.vjp(
         lambda sc, r, e, o: _render_fixed_ids(
-            sc, r, e, o, face_ids, None, config, shading, light_dir),
+            sc, r, e, o, face_ids, None, config, shading, light_dir,
+            accel=accel),
         scene, rays, eye, orient,
     )
     d_scene, d_rays, d_eye, d_orient = vjp(g)

@@ -551,11 +551,12 @@ def occlusion_dense_pallas(
 def shade_segment_blocks(cs: ClusterSet, scene) -> tuple[jnp.ndarray, bool]:
     """``[C, G, 128]`` fused blocks: attribute columns 0-8 v0|e1|e2, 9-17
     vertex normals, 18-20 per-face albedo, 21 tex id, 22-27 vertex uvs
-    (zeros when the scene has none); columns 28-127 zero-pad the LANE dim
-    to the 128 tile so the per-segment HBM->VMEM DMA slices a full lane
-    tile (Mosaic rejects 32-lane slices of a 128-tiled memref — the r2
-    bench failure).  The 4x DMA padding costs ~0.4 ms/frame at bunny
-    scale, measured noise next to the sweep.  Built once per scene."""
+    (zeros when the scene has none), 28 material reflectivity (for the
+    multi-bounce path); columns 29-127 zero-pad the LANE dim to the 128
+    tile so the per-segment HBM->VMEM DMA slices a full lane tile (Mosaic
+    rejects 32-lane slices of a 128-tiled memref — the r2 bench failure).
+    The 4x DMA padding costs ~0.4 ms/frame at bunny scale, measured noise
+    next to the sweep.  Built once per scene."""
     from ..models.mesh import VERTEX_DATA_NORMAL, VERTEX_DATA_UV1
 
     c, g = cs.num_clusters, cs.cluster_size
@@ -581,7 +582,11 @@ def shade_segment_blocks(cs: ClusterSet, scene) -> tuple[jnp.ndarray, bool]:
             * pad_ok)
     else:
         rows.append(jnp.zeros((c * g, 6), jnp.float32))
-    flat = jnp.concatenate(rows, axis=1)  # [C*G, 28]
+    if scene.reflectivity is not None:
+        rows.append(scene.reflectivity[mat][:, None] * pad_ok)
+    else:
+        rows.append(jnp.zeros((c * g, 1), jnp.float32))
+    flat = jnp.concatenate(rows, axis=1)  # [C*G, 29]
     flat = jnp.pad(flat, ((0, 0), (0, 128 - flat.shape[1])))
     # [C, G, 128]: slots ride SUBLANES, attribute columns ride lanes — the
     # kernel computes [G, R] matrices (rays on lanes) so results land in
@@ -591,11 +596,13 @@ def shade_segment_blocks(cs: ClusterSet, scene) -> tuple[jnp.ndarray, bool]:
 
 
 def _primary_shade_kernel(rays_per_tile: int, g: int, t_eps, has_uv: bool,
-                          tiles_per_program: int):
+                          tiles_per_program: int, with_refl: bool = False):
     R = rays_per_tile
     B = tiles_per_program
-    # Outputs: t, slot, u, v, nx, ny, nz, ar, ag, ab (+ tex, tu, tv).
-    n_out = 13 if has_uv else 10
+    # Outputs: t, slot, u, v, nx, ny, nz, ar, ag, ab (+ tex, tu, tv)
+    # (+ refl when the multi-bounce path asks for it — appended LAST so
+    # existing consumers' indices stay stable).
+    n_out = (13 if has_uv else 10) + (1 if with_refl else 0)
 
     def kernel(lists_ref, counts_ref, eye_ref, d_ref, tris_hbm, *refs):
         out_refs, (buf, sems) = refs[:n_out], refs[n_out:]
@@ -674,6 +681,8 @@ def _primary_shade_kernel(rays_per_tile: int, g: int, t_eps, has_uv: bool,
                     cand.append(jnp.broadcast_to(col(21), t.shape))
                     cand.append(col(22) * w_ + col(24) * u + col(26) * v)
                     cand.append(col(23) * w_ + col(25) * u + col(27) * v)
+                if with_refl:
+                    cand.append(jnp.broadcast_to(col(28), t.shape))
 
                 new_attrs = tuple(
                     jnp.where(better, pick(cx), ax)
@@ -756,15 +765,17 @@ def trace_shade_tiles_planar(
     tile_px: int = 16,
     tiles_per_program: int = 8,
     trace_cfg: TraceConfig = TraceConfig(),
+    with_refl: bool = False,
 ):
     """Fused trace+interpolate on PLANAR ``[T, 3, R]`` direction tiles.
 
     Returns the kernel's outputs as a tuple of PLANAR ``[T, R]`` arrays
-    ``(t, slot, u, v, nx, ny, nz, ar, ag, ab[, tex, tu, tv])`` — no
-    ``[N,3]`` stacking, no face gather: minor-dim-3 layouts waste 125 of
-    128 lanes on this hardware and the measured epilogue cost (~2 ms at
-    512²) exceeded the sweep itself.  Callers that need face ids gather
-    ``cs.face_order[slot]`` themselves; the frame path never does."""
+    ``(t, slot, u, v, nx, ny, nz, ar, ag, ab[, tex, tu, tv][, refl])`` —
+    no ``[N,3]`` stacking, no face gather: minor-dim-3 layouts waste 125
+    of 128 lanes on this hardware and the measured epilogue cost (~2 ms
+    at 512²) exceeded the sweep itself.  Callers that need face ids
+    gather ``cs.face_order[slot]`` themselves; the frame path never
+    does."""
     g = cs.cluster_size
     assert g % 128 == 0
     rays_per_tile = tile_px * tile_px
@@ -779,12 +790,13 @@ def trace_shade_tiles_planar(
     while num_tiles % b:
         b //= 2
 
-    n_out = 13 if has_uv else 10
+    n_out = (13 if has_uv else 10) + (1 if with_refl else 0)
     w = lists.shape[2]
     # Rays ride the LANE axis inside the kernel ([T, 3, R] directions in,
     # [T, R] outputs — naturally (8,128)-tiled).
     outs = pl.pallas_call(
-        _primary_shade_kernel(rays_per_tile, g, t_eps, has_uv, b),
+        _primary_shade_kernel(rays_per_tile, g, t_eps, has_uv, b,
+                              with_refl=with_refl),
         grid=(num_tiles // b,),
         in_specs=[
             pl.BlockSpec((b, 1, w), lambda t: (t, 0, 0),

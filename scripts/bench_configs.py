@@ -165,9 +165,9 @@ def config5():
     from raytracercuda_tpu.trace.bounce import render_bounces
     from raytracercuda_tpu.trace.pipeline import rotate_rays
 
-    # 1080 % 16 != 0 -> 8px tiles for this frame shape.
-    config = RenderConfig(accel=AccelKind.CLUSTER,
-                          trace=TraceConfig(dense_tile_px=8))
+    # Default 16px tiles; the Pallas route edge-pads 1080 -> 1088 rows
+    # (8px tiles measured 4x the per-tile fixed cost at this frame size).
+    config = RenderConfig(accel=AccelKind.CLUSTER)
     scene = Scene.create(config)
     load_model(content.find("bunny.obj"), scene)
     scene.add_mesh(bumpy_sphere_mesh(345944, radius=0.9, center=(1.6, 0.8, 0.2),
@@ -175,6 +175,10 @@ def config5():
     scene.add_mesh(bumpy_sphere_mesh(100002, radius=0.7, center=(-1.5, 0.6, -0.3),
                                      seed=3))
     data = scene.data()
+    # Reflective materials so "2-bounce" means live secondary rays (r4's
+    # zero-reflectivity scene made the bounce passes no-ops).
+    nm = data.reflectivity.shape[0]
+    data = data._replace(reflectivity=jnp.linspace(0.3, 0.6, nm))
     accel = build_clusters(data.positions, data.faces, config.cluster)
     jax.block_until_ready(accel)
     eye, extent = frame_eye(data, dist=1.2)
@@ -185,9 +189,14 @@ def config5():
     fn = jax.jit(lambda d: render_bounces(accel, data, eye, d, H, W, config,
                                           num_bounces=2))
     ms, img = timed(fn, dirs, iters=3)
+    active = float(np.asarray(jnp.mean(
+        (jnp.abs(img - render_bounces(accel, data, eye, dirs, H, W, config,
+                                      num_bounces=0)) > 1e-6).any(-1)
+        .astype(jnp.float32))))
     record("5 multi-mesh 1080p 2-bounce",
            frame_ms=round(ms, 2),
            rays_per_s=round(W * H / ms * 1e3, 1),
+           bounce_changed_px_frac=round(active, 4),
            faces=int(data.faces.shape[0]))
 
 

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Round-5 phase profiling: decompose config-4 (grad step) and config-5
+(multi-bounce) on-chip so the optimization work targets measured walls.
+
+Usage: python scripts/profile_r5.py [4|5|5b]
+"""
+import json
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from raytracercuda_tpu import AccelKind, RenderConfig, Scene
+from raytracercuda_tpu.accel.clusters import build_clusters
+from raytracercuda_tpu.config import TraceConfig
+from raytracercuda_tpu.models.camera import camera_ray_grid
+from raytracercuda_tpu.models.loader import load_model
+from raytracercuda_tpu.models.procedural import bumpy_sphere_mesh
+from raytracercuda_tpu.utils import content
+
+
+def timed(fn, *a, iters=5, **kw):
+    out = fn(*a, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*a, **kw)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3, out
+
+
+def log(name, ms, **kv):
+    print(json.dumps({"phase": name, "ms": round(ms, 2), **kv}), flush=True)
+
+
+def scene4():
+    config = RenderConfig(accel=AccelKind.CLUSTER)
+    scene = Scene.create(config)
+    load_model(content.find("f16.obj"), scene)
+    scene.add_mesh(bumpy_sphere_mesh(345944, radius=4.0, center=(0, -1, 14),
+                                     seed=2))
+    data = scene.data()
+    accel = build_clusters(data.positions, data.faces, config.cluster)
+    jax.block_until_ready(accel)
+    lo = np.asarray(data.positions.min(axis=0))
+    hi = np.asarray(data.positions.max(axis=0))
+    center = (lo + hi) / 2
+    extent = float(np.max(hi - lo))
+    eye = jnp.asarray(center - np.array([0, 0, 2.0 * extent]), jnp.float32)
+    return config, data, accel, eye
+
+
+def profile4():
+    from raytracercuda_tpu.diff.render_grad import (l2_image_loss, render_rgb)
+
+    config, data, accel, eye = scene4()
+    orient = jnp.eye(3)
+    W = H = 1024
+    rays = camera_ray_grid(W, H)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+
+    # Forward pieces.
+    fwd = jax.jit(lambda p, t: l2_image_loss(
+        data._replace(positions=p, textures=t), accel, rays, eye, orient,
+        target, config, frame_hw=(H, W)))
+    ms, _ = timed(fwd, data.positions, data.textures, iters=3)
+    log("c4 loss fwd only", ms)
+
+    ms, _ = timed(lambda: render_rgb(data, accel, rays, eye, orient, config,
+                                     with_shadows=True, frame_hw=(H, W)),
+                  iters=3)
+    log("c4 render_rgb fwd (shadows)", ms)
+
+    gfn = jax.jit(jax.grad(lambda p, t: l2_image_loss(
+        data._replace(positions=p, textures=t), accel, rays, eye, orient,
+        target, config, frame_hw=(H, W)), argnums=(0, 1)))
+    ms, _ = timed(gfn, data.positions, data.textures, iters=3)
+    log("c4 grad step (pos+tex)", ms)
+
+    # positions-only and textures-only grads isolate the two scatters.
+    gp = jax.jit(jax.grad(lambda p: l2_image_loss(
+        data._replace(positions=p), accel, rays, eye, orient, target,
+        config, frame_hw=(H, W))))
+    ms, _ = timed(gp, data.positions, iters=3)
+    log("c4 grad positions only", ms)
+
+    gt = jax.jit(jax.grad(lambda t: l2_image_loss(
+        data._replace(textures=t), accel, rays, eye, orient, target,
+        config, frame_hw=(H, W))))
+    ms, _ = timed(gt, data.textures, iters=3)
+    log("c4 grad textures only", ms)
+
+    # FrameRenderer product-path forward for the same scene (Weak #7).
+    from raytracercuda_tpu.trace.frame import FrameRenderer
+
+    fr = FrameRenderer(data, accel, config, H, W, shadows=True)
+    ms, _ = timed(lambda: fr.render(eye, orient, rays), iters=3)
+    log("c4 FrameRenderer fwd", ms)
+
+
+def scene5():
+    config = RenderConfig(accel=AccelKind.CLUSTER,
+                          trace=TraceConfig(dense_tile_px=8))
+    scene = Scene.create(config)
+    load_model(content.find("bunny.obj"), scene)
+    scene.add_mesh(bumpy_sphere_mesh(345944, radius=0.9,
+                                     center=(1.6, 0.8, 0.2), seed=2))
+    scene.add_mesh(bumpy_sphere_mesh(100002, radius=0.7,
+                                     center=(-1.5, 0.6, -0.3), seed=3))
+    data = scene.data()
+    accel = build_clusters(data.positions, data.faces, config.cluster)
+    jax.block_until_ready(accel)
+    lo = np.asarray(data.positions.min(axis=0))
+    hi = np.asarray(data.positions.max(axis=0))
+    center = (lo + hi) / 2
+    extent = float(np.max(hi - lo))
+    eye = jnp.asarray(center - np.array([0, 0, 1.2 * extent]), jnp.float32)
+    return config, data, accel, eye
+
+
+def profile5():
+    from raytracercuda_tpu.trace.bounce import render_bounces
+    from raytracercuda_tpu.trace.pipeline import rotate_rays
+
+    config, data, accel, eye = scene5()
+    W, H = 1920, 1080
+    rays = camera_ray_grid(W, H)
+    dirs = jax.jit(rotate_rays)(rays, jnp.eye(3))
+    tc = config.trace
+
+    for nb in (0, 1, 2):
+        fn = jax.jit(lambda d, nb=nb: render_bounces(
+            accel, data, eye, d, H, W, config, num_bounces=nb))
+        ms, _ = timed(fn, dirs, iters=3)
+        log(f"c5 render_bounces nb={nb}", ms)
+
+    # Pieces: primary dense trace, occlusion, one bounce's general sweep.
+    from raytracercuda_tpu.trace.dense import (occlusion_dense, trace_dense,
+                                               trace_clusters_rays)
+
+    ms, hit = timed(lambda: trace_dense(
+        accel, eye, dirs, height=H, width=W, tile_px=tc.dense_tile_px,
+        round_k=tc.dense_round_clusters,
+        tiles_per_chunk=tc.dense_tiles_per_chunk,
+        cluster_chunk=tc.dense_cluster_chunk, trace_cfg=tc), iters=3)
+    log("c5 primary trace_dense (XLA)", ms)
+
+    # Pallas primary for the same frame.
+    from raytracercuda_tpu.trace.pallas_sweep import (segment_blocks,
+                                                      trace_dense_pallas)
+    blocks = accel.tri_blocks if accel.tri_blocks is not None else \
+        segment_blocks(accel)
+    ms, hitp = timed(lambda: trace_dense_pallas(
+        accel, blocks, eye, dirs, height=H, width=W,
+        tile_px=tc.dense_tile_px, trace_cfg=tc), iters=3)
+    log("c5 primary trace_dense_pallas", ms)
+    agree = float(np.mean(np.asarray(hit.face) == np.asarray(hitp.face)))
+    log("c5 primary face agreement", 0.0, frac=round(agree, 4))
+
+    # Secondary bundle: mirror-bounce geometry off the primary hits.
+    from raytracercuda_tpu.trace.bounce import _bounce_geometry, \
+        _hit_reflectivity
+
+    eps = jnp.float32(tc.t_epsilon) * jnp.maximum(
+        jnp.max(accel.cmax) - jnp.min(accel.cmin), 1.0)
+    origin = jnp.broadcast_to(eye[None, :], dirs.shape)
+    o2, d2 = jax.jit(_bounce_geometry, static_argnums=())(
+        data, hit, origin, dirs, eps)
+    refl = _hit_reflectivity(data, hit)
+    active = hit.hit_mask & (refl > 0.0)
+    jax.block_until_ready((o2, d2, active))
+    nact = int(jnp.sum(active))
+    log("c5 active secondary rays", 0.0, n=nact, frac=round(nact / (W * H), 4))
+
+    perm = jnp.argsort(~active, stable=True)
+    ms, _ = timed(lambda: trace_clusters_rays(
+        accel, o2[perm], d2[perm], tc, active=active[perm]), iters=3)
+    log("c5 bounce trace_clusters_rays (compacted)", ms)
+
+    ms, _ = timed(lambda: jnp.argsort(~active, stable=True), iters=5)
+    log("c5 one argsort compaction", ms)
+
+
+def main():
+    which = set(sys.argv[1:]) or {"4", "5"}
+    print("devices:", jax.devices(), flush=True)
+    if "4" in which:
+        profile4()
+    if "5" in which:
+        profile5()
+
+
+if __name__ == "__main__":
+    main()
