@@ -64,7 +64,10 @@ def _scatter_kernel(d_pad: int, b: int, window: int, chunk: int,
         g = g_ref[0, :, :]  # [d_pad, B]
 
         def window_body(k, _):
-            base_raw = base_ref[t, k]
+            # base is passed flattened [T*K]: a 2-D [T, K] scalar-prefetch
+            # operand would be lane-padded K->128 in SMEM (4096 tiles x
+            # 128 lanes x 4 B = 2 MB > the 1 MB SMEM budget).
+            base_raw = base_ref[t * n_windows + k]
             # Bases are built 128-aligned (`tile_bases`); the hint is what
             # lets Mosaic slice the tiled lane dim at a dynamic offset.
             base = pl.multiple_of(jnp.maximum(base_raw, 0), 128)
@@ -164,7 +167,7 @@ def tile_scatter_add(
         input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret_mode(),
-    )(base, g_pad, idx.reshape(t, 1, b_),
+    )(base.reshape(-1), g_pad, idx.reshape(t, 1, b_),
       jnp.zeros((d_pad, rows_pad), jnp.float32))
     out = out[:d, :num_rows].T
 

@@ -211,8 +211,18 @@ def main():
             record(f"{i} FAILED", error=f"{type(e).__name__}: {e}")
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "CONFIGS.json")
+    # Subset reruns merge into the existing file by config number so a
+    # partial run never drops the other configs' records.
+    merged = {}
+    if only and os.path.exists(path):
+        with open(path) as f:
+            for rec in json.load(f):
+                merged[rec["config"].split()[0]] = rec
+    for rec in RESULTS:
+        merged[rec["config"].split()[0]] = rec
     with open(path, "w") as f:
-        json.dump(RESULTS, f, indent=1)
+        json.dump(sorted(merged.values(), key=lambda r: r["config"]),
+                  f, indent=1)
     print("wrote", path)
 
 

@@ -45,6 +45,56 @@ SIDES = tuple(int(s) for s in os.environ.get("SCALING_SIDES", "256,512").split("
 ITERS = int(os.environ.get("SCALING_ITERS", 10))
 
 
+def grad_step_scaling(config, data, accel, ns):
+    """Strong scaling of the FULL train step (forward + backward + psum
+    gradient all-reduce + adam) — the row VERDICT r4 asked for: forward
+    scaling alone can't catch a collective-cost regression."""
+    import statistics
+
+    import optax
+
+    from raytracercuda_tpu.parallel.shard import make_train_step
+
+    side = int(os.environ.get("SCALING_GRAD_SIDE", "128"))
+    rays = camera_ray_grid(side, side)
+    target = jnp.zeros((side * side, 3), jnp.float32)
+    eye = jnp.zeros(3)
+    orient = jnp.eye(3)
+    params = {"positions": data.positions}
+
+    steps = {}
+    for n in ns:
+        mesh = make_ray_mesh(n)
+        step, opt = make_train_step(config, mesh)
+        st = opt.init(params)
+        jax.block_until_ready(
+            step(params, st, data, accel, rays, eye, orient, target))
+        steps[n] = (step, st)
+    times = {n: [] for n in ns}
+    iters = max(3, ITERS // 2)
+    for _ in range(iters):
+        for n in ns:
+            step, st = steps[n]
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                step(params, st, data, accel, rays, eye, orient, target))
+            times[n].append(time.perf_counter() - t0)
+    rows = []
+    t1 = min(times[ns[0]])
+    for n in ns:
+        dt = min(times[n])
+        rows.append({
+            "devices": n,
+            "ms_min": round(dt * 1e3, 2),
+            "ms_mean": round(statistics.mean(times[n]) * 1e3, 2),
+            "ms_std": round(statistics.pstdev(times[n]) * 1e3, 2),
+            "sharding_efficiency": round(t1 / dt, 4),
+        })
+        print(f"grad side={side} n={n}: min {dt*1e3:8.2f} ms  "
+              f"eff={t1/dt:.3f}", flush=True)
+    return {"frame": f"{side}x{side}", "iters": iters, "rows": rows}
+
+
 def main():
     assert len(jax.devices()) >= 8, jax.devices()
     import dataclasses
@@ -65,32 +115,37 @@ def main():
 
     import statistics
 
+    NS = (1, 2, 4, 8)
     by_side = {}
     for side in SIDES:
         rays = camera_ray_grid(side, side)
-        results = []
-        t1 = None
-        for n in (1, 2, 4, 8):
+        frames = {}
+        for n in NS:
             mesh = make_ray_mesh(n)
 
-            def frame():
+            def frame(mesh=mesh):
                 return render_sharded(data, accel, rays, eye, orient, config,
                                       mesh, with_shadows=True,
                                       frame_hw=(side, side))
 
             frame().block_until_ready()  # compile
-            times = []
-            for _ in range(ITERS):
+            frames[n] = frame
+        # Interleave the device counts round-robin so host-load drift hits
+        # every n equally instead of biasing whichever ran last.
+        times = {n: [] for n in NS}
+        for _ in range(ITERS):
+            for n in NS:
                 t0 = time.perf_counter()
-                frame().block_until_ready()
-                times.append(time.perf_counter() - t0)
+                frames[n]().block_until_ready()
+                times[n].append(time.perf_counter() - t0)
+        results = []
+        t1 = min(times[1])
+        for n in NS:
             # min = least-interference estimate on a shared 2-core host;
             # std reported so the noise floor is visible.
-            dt = min(times)
-            mean = statistics.mean(times)
-            std = statistics.pstdev(times)
-            if n == 1:
-                t1 = dt
+            dt = min(times[n])
+            mean = statistics.mean(times[n])
+            std = statistics.pstdev(times[n])
             results.append({
                 "devices": n,
                 "ms_min": round(dt * 1e3, 2),
@@ -104,6 +159,8 @@ def main():
                   f"mean {mean*1e3:8.2f}±{std*1e3:.2f}  "
                   f"sharding_eff={t1/dt:.3f}", flush=True)
         by_side[side] = results
+
+    grad_rows = grad_step_scaling(config, data, accel, NS)
 
     side = max(SIDES)
     summary = {
