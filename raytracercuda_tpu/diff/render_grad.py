@@ -110,7 +110,7 @@ def recompute_hit(
 def _rows_recompute_shade(scene, face_ids, eye, dirs, light_dir,
                           shadow_mask=None, ambient: float = 0.08,
                           background=(0.0, 1.0, 0.0), rays=None, orient=None,
-                          accel=None):
+                          accel=None, frame_hw=None):
     """Differentiable recompute+shade as ONE row gather + planar math.
 
     The generic route (`recompute_hit` + `shade_lambert_rgb`) costs ~5
@@ -175,7 +175,8 @@ def _rows_recompute_shade(scene, face_ids, eye, dirs, light_dir,
     rows = jnp.concatenate(cols, axis=1)  # [F, 22(+6)]
 
     if use_tiled:
-        r = gather_rows_tiled(rows, ids, _SCATTER_WINDOW, tile_shape)
+        r = gather_rows_tiled(rows, ids, _SCATTER_WINDOW, tile_shape,
+                              frame_hw=frame_hw)
     else:
         r = rows[jnp.maximum(ids, 0)]  # the ONE per-ray gather
     rT = r.T  # [D, N]: columns become full-lane [N] planes
@@ -194,7 +195,13 @@ def _rows_recompute_shade(scene, face_ids, eye, dirs, light_dir,
     pvy = dz * e2x - dx * e2z
     pvz = dx * e2y - dy * e2x
     det = e1x * pvx + e1y * pvy + e1z * pvz
-    inv = 1.0 / det
+    # Exactly-zero det (edge-on ray) must be guarded HERE, not just
+    # folded into `miss` below: reverse-mode multiplies the primal
+    # partial d(1/det) = -inf by the (zero) cotangent of the masked
+    # branch, and 0 * inf = NaN — the r5 config-4 non-finite grads.
+    # The guard preserves forward semantics (det==0 is forced to miss).
+    degenerate = det == 0.0
+    inv = 1.0 / jnp.where(degenerate, 1.0, det)
     tvx, tvy, tvz = ox - c[0], oy - c[1], oz - c[2]
     u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
     qvx = tvy * e1z - tvz * e1y
@@ -202,7 +209,7 @@ def _rows_recompute_shade(scene, face_ids, eye, dirs, light_dir,
     qvz = tvx * e1y - tvy * e1x
     v = (dx * qvx + dy * qvy + dz * qvz) * inv
     t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-    miss = (face_ids < 0) | jnp.isnan(u) | jnp.isnan(v) | jnp.isnan(t)
+    miss = (face_ids < 0) | degenerate | jnp.isnan(u) | jnp.isnan(v) | jnp.isnan(t)
     miss = miss | (u < 0.0) | (u > 1.0) | (v < 0.0) | (u + v > 1.0)
     t = jnp.where(miss, FLT_MAX, t)
     u = jnp.where(face_ids < 0, 0.0, u)
@@ -259,7 +266,7 @@ def _rows_recompute_shade(scene, face_ids, eye, dirs, light_dir,
             # Texel indices are uv-coherent per pixel tile — same
             # windowed backward as the attribute rows.
             q = gather_rows_tiled(flat, qidx, _SCATTER_WINDOW,
-                                  tile_shape).T
+                                  tile_shape, frame_hw=frame_hw).T
         else:
             q = flat[qidx].T  # [12, N] planar
         texd = tex_id >= 0
@@ -328,7 +335,7 @@ def render_rgb(
         rgb, _, _ = _rows_recompute_shade(scene, face_ids, eye, dirs,
                                           light_dir, shadow_mask,
                                           rays=initial_rays, orient=orient,
-                                          accel=accel)
+                                          accel=accel, frame_hw=frame_hw)
         return rgb
 
     hit = recompute_hit(scene, face_ids, origin, dirs)
@@ -430,7 +437,7 @@ def _occlusion_from_hit(scene, accel, hit_nd, origin, dirs, l, config,
 
 
 def _render_fixed_ids(scene, initial_rays, eye, orient, face_ids, shadow_mask,
-                      config, shading, light_dir, accel=None):
+                      config, shading, light_dir, accel=None, frame_hw=None):
     """The differentiable part of the render, for FIXED combinatorics."""
     from ..trace.shade import shade_lambert_rgb, shade_normal_rgb
 
@@ -443,7 +450,7 @@ def _render_fixed_ids(scene, initial_rays, eye, orient, face_ids, shadow_mask,
         rgb, _, _ = _rows_recompute_shade(scene, face_ids, eye, dirs,
                                           light_dir, shadow_mask,
                                           rays=initial_rays, orient=orient,
-                                          accel=accel)
+                                          accel=accel, frame_hw=frame_hw)
         return rgb
     hit = recompute_hit(scene, face_ids, origin, dirs)
     return shade_lambert_rgb(scene, hit, origin, dirs, light_dir=light_dir,
@@ -491,7 +498,7 @@ def _render_vjp_bwd(config, shading, with_shadows, light_dir, frame_hw,
     _, vjp = jax.vjp(
         lambda sc, rays, e, o: _render_fixed_ids(
             sc, rays, e, o, face_ids, shadow_mask, config, shading, light_dir,
-            accel=accel
+            accel=accel, frame_hw=frame_hw
         ),
         scene, initial_rays, eye, orient,
     )
@@ -594,7 +601,7 @@ def _render_silhouette_bwd(config, width, height, zoom, shading, light_dir,
     _, vjp = jax.vjp(
         lambda sc, r, e, o: _render_fixed_ids(
             sc, r, e, o, face_ids, None, config, shading, light_dir,
-            accel=accel),
+            accel=accel, frame_hw=frame_hw),
         scene, rays, eye, orient,
     )
     d_scene, d_rays, d_eye, d_orient = vjp(g)

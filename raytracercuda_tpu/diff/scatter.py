@@ -107,14 +107,16 @@ def _scatter_kernel(d_pad: int, b: int, window: int, chunk: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("num_rows", "window", "chunk"))
+@partial(jax.jit, static_argnames=("num_rows", "window", "chunk",
+                                   "stray_cap"))
 def tile_scatter_add(
     g: jnp.ndarray,
     idx: jnp.ndarray,
     base: jnp.ndarray,
     num_rows: int,
     window: int = 2048,
-    chunk: int = 512,
+    chunk: int | None = None,
+    stray_cap: int = 16384,
 ) -> jnp.ndarray:
     """Accumulate ``out[:, idx[t,j]] += g[:, t, j]`` -> ``[D, num_rows]``.
 
@@ -127,11 +129,20 @@ def tile_scatter_add(
         through the exact XLA fallback.
       num_rows: F — the real output row count.
       window: per-tile slab width R (multiple of ``chunk``).
-      chunk: one-hot matmul column block (multiple of 128).
+      chunk: one-hot matmul column block (multiple of 128).  Default =
+        ``window``: ONE matmul dispatch per window — MXU dispatch latency
+        inside a Mosaic fori_loop is not pipelined (MEASUREMENTS r3), so
+        four [D,B]@[B,512] chunks cost ~4x one [D,B]@[B,2048].
+      stray_cap: out-of-window rays are handled by an exact
+        sort-compacted segment-sum over at most this many rays; only a
+        frame with MORE strays pays the full-size XLA fallback.
 
     Returns ``[num_rows, D]`` float32 — exactly
-    ``segment_sum``-equivalent including out-of-window rays.
+    ``segment_sum``-equivalent including out-of-window rays (ids ``< 0``
+    are dropped).
     """
+    if chunk is None:
+        chunk = window
     t, d, b_ = g.shape
     if base.ndim == 1:
         base = base[:, None]
@@ -171,23 +182,38 @@ def tile_scatter_add(
       jnp.zeros((d_pad, rows_pad), jnp.float32))
     out = out[:d, :num_rows].T
 
-    # Exact fallback for ids outside every window — only runs on frames
-    # that actually have such rays (both cond branches compile, one
-    # executes).
+    # Exact fallback for ids outside every window.  Strays are first
+    # sort-compacted to the front and only ``stray_cap`` rows hit the XLA
+    # scatter (its cost is linear in update rows: a full-frame fallback
+    # is the 78-96 ms wall this kernel exists to avoid); a frame with
+    # more strays than the cap pays the full-size exact path.  All
+    # branches compile; at most one executes.
     covered = jnp.zeros(idx.shape, bool)
     for k in range(n_windows):
         bk = base[:, k:k + 1]
         covered |= (bk >= 0) & (idx >= bk) & (idx < bk + window)
-    stray = (idx >= 0) & ~covered
+    stray = ((idx >= 0) & ~covered).reshape(-1)
+    flat_idx = jnp.where(stray, idx.reshape(-1), num_rows)
+    gflat = g.transpose(0, 2, 1).reshape(-1, d)  # [T*B, D]
+    cap = min(stray_cap, flat_idx.shape[0])
 
-    def with_stray(out):
-        flat_idx = jnp.where(stray, idx, num_rows).reshape(-1)
-        gflat = g.transpose(0, 2, 1).reshape(-1, d)  # [T*B, D]
-        gs = jnp.where(stray.reshape(-1, 1), gflat, 0.0)
+    def with_stray_full(out):
+        gs = jnp.where(stray[:, None], gflat, 0.0)
         return out + jax.ops.segment_sum(
             gs, flat_idx, num_segments=num_rows + 1)[:num_rows]
 
-    return jax.lax.cond(jnp.any(stray), with_stray, lambda o: o, out)
+    def with_stray_compact(out):
+        sel = jnp.argsort(~stray, stable=True)[:cap]
+        return out + jax.ops.segment_sum(
+            jnp.where(stray[sel, None], gflat[sel], 0.0), flat_idx[sel],
+            num_segments=num_rows + 1)[:num_rows]
+
+    n_stray = jnp.sum(stray)
+    return jax.lax.cond(
+        n_stray == 0, lambda o: o,
+        lambda o: jax.lax.cond(n_stray <= cap, with_stray_compact,
+                               with_stray_full, o),
+        out)
 
 
 def _pallas_ok() -> bool:
@@ -217,37 +243,72 @@ def tile_bases(idx: jnp.ndarray, window: int,
     return jnp.stack(bases, axis=1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def gather_rows_tiled(rows, idx, window, tile_shape, n_windows=2):
+def _retile_2d(x, frame_hw, tp):
+    """Row-major ``[H*W, ...]`` -> pixel-tile-major ``[T, tp*tp, ...]``.
+
+    A ``tp x tp`` pixel square spans a far narrower Morton-slot id range
+    than the same count of consecutive row-major pixels (a 1 x 256 strip
+    crosses many Morton blocks; a 16 x 16 square stays inside a few), so
+    windowing the backward on squares is what keeps strays rare."""
+    h, w = frame_hw
+    lead = x.shape[1:]
+    x = x.reshape(h // tp, tp, w // tp, tp, *lead)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape((h // tp) * (w // tp), tp * tp, *lead)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def gather_rows_tiled(rows, idx, window, tile_shape, n_windows=2,
+                      frame_hw=None):
     """``rows[idx] -> [N, D]`` with a tile-coalesced scatter backward.
 
     Forward is a plain XLA row gather (fast).  ``idx [N]`` int32 must be
     spatially coherent in blocks of ``tile_shape = (T, B)`` (pixel-tile
     order); ``window`` is the per-tile id span the Pallas backward
     covers directly, ``n_windows`` how many disjoint windows per tile
-    (strays beyond them fall back exactly).
+    (strays beyond them fall back exactly).  When ``frame_hw`` is given
+    and divisible, the backward re-tiles rays into 2-D pixel squares
+    (`_retile_2d`) instead of row-major strips.  Negative ids gather row
+    0 (their cotangent is credited to row 0, exactly like the plain
+    gather's backward).
     """
     return rows[jnp.maximum(idx, 0)]
 
 
-def _gather_fwd(rows, idx, window, tile_shape, n_windows):
+def _gather_fwd(rows, idx, window, tile_shape, n_windows, frame_hw):
     return rows[jnp.maximum(idx, 0)], (idx, rows.shape[0])
 
 
-def _gather_bwd(window, tile_shape, n_windows, res, gr):
+def _gather_bwd(window, tile_shape, n_windows, frame_hw, res, gr):
     idx, f = res
     t, b_ = tile_shape
-    # Misses gathered row 0 in the forward; their cotangent legitimately
-    # belongs to row 0 only when nonzero (shade masks make it zero, but
-    # exactness here must not depend on that) — so scatter with the
-    # gather's own effective index max(idx, 0).
-    eff = jnp.maximum(idx, 0).reshape(t, b_)
     if not _pallas_ok():
-        d_rows = jax.ops.segment_sum(gr, eff.reshape(-1), num_segments=f)
+        d_rows = jax.ops.segment_sum(gr, jnp.maximum(idx, 0).reshape(-1),
+                                     num_segments=f)
         return (d_rows, None)
-    base = tile_bases(eff, window, n_windows)
-    gplanar = gr.reshape(t, b_, -1).transpose(0, 2, 1)  # [T, D, B]
-    d_rows = tile_scatter_add(gplanar, eff, base, f, window=window)
+    tp = int(b_ ** 0.5)
+    if (frame_hw is not None and tp * tp == b_
+            and frame_hw[0] % tp == 0 and frame_hw[1] % tp == 0):
+        idx_t = _retile_2d(idx, frame_hw, tp)
+        g_t = _retile_2d(gr, frame_hw, tp).transpose(0, 2, 1)  # [T, D, B]
+    else:
+        idx_t = idx.reshape(t, b_)
+        g_t = gr.reshape(t, b_, -1).transpose(0, 2, 1)
+    # Window on TRUE ids: misses (id < 0) must not burn a window on slot
+    # 0 — with them mapped to 0, every sky-containing tile wasted window
+    # 1 on [0, 2048) and real geometry strayed into the full-size XLA
+    # fallback (the r5 326 ms regression).  The kernel drops id < 0; the
+    # forward gathered row 0 for them, so credit their cotangent to row
+    # 0 with one masked reduction.
+    base = tile_bases(idx_t, window, n_windows)
+    d_rows = tile_scatter_add(g_t, idx_t, base, f, window=window)
+    miss = jnp.any(idx < 0)
+    d_rows = jax.lax.cond(
+        miss,
+        lambda o: o.at[0].add(
+            jnp.sum(jnp.where((idx < 0)[:, None], gr, 0.0), axis=0)),
+        lambda o: o,
+        d_rows)
     return (d_rows, None)
 
 

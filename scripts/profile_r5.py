@@ -104,6 +104,113 @@ def profile4():
     log("c4 FrameRenderer fwd", ms)
 
 
+def profile5p():
+    """Phase isolation of the Pallas multi-bounce route at 1080p-pad."""
+    from raytracercuda_tpu.trace.dense import tile_pixels_planar
+    from raytracercuda_tpu.trace.pallas_bounce import (
+        general_tile_cull, render_bounces_pallas, trace_shade_general_planar)
+    from raytracercuda_tpu.trace.pallas_sweep import (
+        _cull_frustum, _tile_lists, occlusion_tiles_planar,
+        shade_segment_blocks, tile_planes_planar, trace_shade_tiles_planar)
+    from raytracercuda_tpu.trace.pipeline import rotate_rays
+
+    config, data, accel, eye = scene5()
+    tc = config.trace
+    tp = tc.dense_tile_px
+    W, Hreal = 1920, 1080
+    H = -(-Hreal // tp) * tp  # 1088 edge-pad like the product path
+    rays = camera_ray_grid(W, Hreal)
+    dirs = jax.jit(rotate_rays)(rays, jnp.eye(3))
+    img = dirs.reshape(Hreal, W, 3)
+    img = jnp.pad(img, ((0, H - Hreal), (0, 0), (0, 0)), mode="edge")
+    dirs = img.reshape(H * W, 3)
+    blocks, has_uv = shade_segment_blocks(accel, data)
+    jax.block_until_ready(blocks)
+    d3 = jax.jit(lambda d: tile_pixels_planar(d.T, H, W, tp))(dirs)
+    jax.block_until_ready(d3)
+    T = d3.shape[0]
+    R = tp * tp
+    C = accel.num_clusters
+    log("c5p shapes", 0.0, tiles=T, rays_per_tile=R, clusters=C,
+        tile_px=tp)
+
+    light = jnp.asarray([0.4, 0.8, -0.45], jnp.float32)
+    light = light / jnp.linalg.norm(light)
+
+    # Whole-frame nb=0/1/2 on the Pallas route.
+    for nb in (0, 1, 2):
+        fn = jax.jit(lambda nb=nb: render_bounces_pallas(
+            accel, blocks, has_uv, data.textures, eye, dirs, H, W,
+            tile_px=tp, num_bounces=nb, trace_cfg=tc))
+        ms, _ = timed(fn, iters=3)
+        log(f"c5p render_bounces_pallas nb={nb}", ms)
+
+    # Primary kernel alone (with refl).
+    fn = jax.jit(lambda: trace_shade_tiles_planar(
+        accel, blocks, has_uv, eye, d3, tile_px=tp, trace_cfg=tc,
+        with_refl=True))
+    ms, outs = timed(fn, iters=3)
+    log("c5p primary planar kernel", ms)
+
+    # Cull + list phases for the primary.
+    planes = jax.jit(lambda d: tile_planes_planar(d, tp))(d3)
+    ms, survive = timed(jax.jit(lambda: _cull_frustum(
+        planes, eye, accel.cmin, accel.cmax)), iters=5)
+    log("c5p primary cull", ms, survivors=int(jnp.sum(survive)))
+    ms, (lists, counts) = timed(jax.jit(lambda: _tile_lists(
+        survive, C, tc.sweep_list_width)), iters=5)
+    log("c5p primary tile_lists", ms,
+        total_count=int(jnp.sum(counts)),
+        mean_count=round(float(jnp.mean(counts)), 2),
+        max_count=int(jnp.max(counts)))
+
+    # Bounce geometry from the primary outs (mirror of the route).
+    from raytracercuda_tpu.trace.pallas_bounce import _planar_shade
+    r0, g0, b0, hitm, nx, ny, nz, refl = jax.jit(
+        lambda: _planar_shade(outs, d3, light, data.textures, has_uv,
+                              0.08))()
+    eps = jnp.float32(tc.t_epsilon) * jnp.maximum(
+        jnp.max(accel.cmax) - jnp.min(accel.cmin), 1.0)
+    dx = d3[:, 0, :].reshape(-1)
+    dy = d3[:, 1, :].reshape(-1)
+    dz = d3[:, 2, :].reshape(-1)
+    t_ = jnp.minimum(outs[0].reshape(-1), jnp.float32(3e37))
+    px_, py_, pz_ = eye[0] + dx * t_, eye[1] + dy * t_, eye[2] + dz * t_
+    ddn = dx * nx + dy * ny + dz * nz
+    ndx, ndy, ndz = (dx - 2 * ddn * nx, dy - 2 * ddn * ny, dz - 2 * ddn * nz)
+    active = hitm & (refl > 0.0)
+    o3 = jnp.stack([(px_ + nx * eps).reshape(T, R),
+                    (py_ + ny * eps).reshape(T, R),
+                    (pz_ + nz * eps).reshape(T, R)], axis=1)
+    d3b = jnp.stack([ndx.reshape(T, R), ndy.reshape(T, R),
+                     ndz.reshape(T, R)], axis=1)
+    a2 = active.reshape(T, R)
+    jax.block_until_ready((o3, d3b, a2))
+    log("c5p active bounce rays", 0.0, n=int(jnp.sum(a2)),
+        frac=round(float(jnp.mean(a2)), 4),
+        active_tiles=int(jnp.sum(jnp.any(a2, axis=1))))
+
+    # Bounce cull + lists + sweep, isolated.
+    ms, surv_b = timed(jax.jit(lambda: general_tile_cull(
+        o3, d3b, a2, accel.cmin, accel.cmax)), iters=5)
+    log("c5p bounce general_tile_cull", ms, survivors=int(jnp.sum(surv_b)))
+    ms, (lb, cb) = timed(jax.jit(lambda: _tile_lists(
+        surv_b, C, tc.sweep_list_width)), iters=5)
+    log("c5p bounce tile_lists", ms, total_count=int(jnp.sum(cb)),
+        max_count=int(jnp.max(cb)))
+    ms, _ = timed(jax.jit(lambda: trace_shade_general_planar(
+        accel, blocks, has_uv, o3, d3b, a2, tile_px=tp, trace_cfg=tc)),
+        iters=3)
+    log("c5p bounce general sweep (incl cull+lists)", ms)
+
+    # Shadow stage for reference.
+    sact = hitm.reshape(T, R)
+    ms, _ = timed(jax.jit(lambda: occlusion_tiles_planar(
+        accel, blocks, o3, light, sact, tile_px=tp, trace_cfg=tc)),
+        iters=3)
+    log("c5p occlusion planar", ms)
+
+
 def scene5():
     config = RenderConfig(accel=AccelKind.CLUSTER,
                           trace=TraceConfig(dense_tile_px=8))
