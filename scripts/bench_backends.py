@@ -178,10 +178,15 @@ def main():
         # mesh into a handful of cells and the DDA faults the device.
         # Scale the cell edge to ~1/48 of the scene extent instead.
         gcfg = dataclasses.replace(config.grid, cell_res=extent / 48.0)
+        # 128^2 and one iteration: the DDA's serial per-cell gather chain
+        # runs ~35 s/frame at this size and trips the device watchdog at
+        # 512^2.  Demotion to the CPU/correctness tier is FINAL (README).
+        go, gd = rays_at(128)
         bench("grid-dda",
               lambda: build_grid(data.positions, data.faces, gcfg),
-              lambda g: trace_grid(g, data.positions, data.faces, origin,
-                                   dirs, gcfg, tc))
+              lambda g: trace_grid(g, data.positions, data.faces, go,
+                                   gd, gcfg, tc),
+              size=128, iters=1)
 
     if want("brute-pallas"):
         from raytracercuda_tpu.trace.pallas_brute import trace_brute_pallas

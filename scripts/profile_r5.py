@@ -6,6 +6,7 @@ Usage: python scripts/profile_r5.py [4|5|5b]
 """
 import json
 import os, sys, time
+from functools import partial
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -139,26 +140,28 @@ def profile5p():
 
     # Whole-frame nb=0/1/2 on the Pallas route.
     for nb in (0, 1, 2):
-        fn = jax.jit(lambda nb=nb: render_bounces_pallas(
-            accel, blocks, has_uv, data.textures, eye, dirs, H, W,
-            tile_px=tp, num_bounces=nb, trace_cfg=tc))
-        ms, _ = timed(fn, iters=3)
+        fn = jax.jit(partial(render_bounces_pallas, tile_px=tp,
+                             num_bounces=nb, trace_cfg=tc),
+                     static_argnums=(2, 6, 7))
+        ms, _ = timed(fn, accel, blocks, has_uv, data.textures, eye, dirs,
+                      H, W, iters=3)
         log(f"c5p render_bounces_pallas nb={nb}", ms)
 
     # Primary kernel alone (with refl).
-    fn = jax.jit(lambda: trace_shade_tiles_planar(
-        accel, blocks, has_uv, eye, d3, tile_px=tp, trace_cfg=tc,
-        with_refl=True))
-    ms, outs = timed(fn, iters=3)
+    fn = jax.jit(partial(trace_shade_tiles_planar, tile_px=tp,
+                         trace_cfg=tc, with_refl=True),
+                 static_argnums=(2,))
+    ms, outs = timed(fn, accel, blocks, has_uv, eye, d3, iters=3)
     log("c5p primary planar kernel", ms)
 
     # Cull + list phases for the primary.
-    planes = jax.jit(lambda d: tile_planes_planar(d, tp))(d3)
-    ms, survive = timed(jax.jit(lambda: _cull_frustum(
-        planes, eye, accel.cmin, accel.cmax)), iters=5)
+    planes = jax.jit(partial(tile_planes_planar, tile_px=tp))(d3)
+    ms, survive = timed(jax.jit(_cull_frustum), planes, eye, accel.cmin,
+                        accel.cmax, iters=5)
     log("c5p primary cull", ms, survivors=int(jnp.sum(survive)))
-    ms, (lists, counts) = timed(jax.jit(lambda: _tile_lists(
-        survive, C, tc.sweep_list_width)), iters=5)
+    ms, (lists, counts) = timed(
+        jax.jit(partial(_tile_lists, max_w=tc.sweep_list_width),
+                static_argnums=(1,)), survive, C, iters=5)
     log("c5p primary tile_lists", ms,
         total_count=int(jnp.sum(counts)),
         mean_count=round(float(jnp.mean(counts)), 2),
@@ -167,8 +170,8 @@ def profile5p():
     # Bounce geometry from the primary outs (mirror of the route).
     from raytracercuda_tpu.trace.pallas_bounce import _planar_shade
     r0, g0, b0, hitm, nx, ny, nz, refl = jax.jit(
-        lambda: _planar_shade(outs, d3, light, data.textures, has_uv,
-                              0.08))()
+        partial(_planar_shade, has_uv=has_uv, ambient=0.08),
+        static_argnums=())(outs, d3, light, data.textures)
     eps = jnp.float32(tc.t_epsilon) * jnp.maximum(
         jnp.max(accel.cmax) - jnp.min(accel.cmin), 1.0)
     dx = d3[:, 0, :].reshape(-1)
@@ -191,29 +194,31 @@ def profile5p():
         active_tiles=int(jnp.sum(jnp.any(a2, axis=1))))
 
     # Bounce cull + lists + sweep, isolated.
-    ms, surv_b = timed(jax.jit(lambda: general_tile_cull(
-        o3, d3b, a2, accel.cmin, accel.cmax)), iters=5)
+    ms, surv_b = timed(jax.jit(general_tile_cull), o3, d3b, a2,
+                       accel.cmin, accel.cmax, iters=5)
     log("c5p bounce general_tile_cull", ms, survivors=int(jnp.sum(surv_b)))
-    ms, (lb, cb) = timed(jax.jit(lambda: _tile_lists(
-        surv_b, C, tc.sweep_list_width)), iters=5)
+    ms, (lb, cb) = timed(
+        jax.jit(partial(_tile_lists, max_w=tc.sweep_list_width),
+                static_argnums=(1,)), surv_b, C, iters=5)
     log("c5p bounce tile_lists", ms, total_count=int(jnp.sum(cb)),
         max_count=int(jnp.max(cb)))
-    ms, _ = timed(jax.jit(lambda: trace_shade_general_planar(
-        accel, blocks, has_uv, o3, d3b, a2, tile_px=tp, trace_cfg=tc)),
-        iters=3)
+    ms, _ = timed(jax.jit(partial(trace_shade_general_planar, tile_px=tp,
+                                  trace_cfg=tc), static_argnums=(2,)),
+                  accel, blocks, has_uv, o3, d3b, a2, iters=3)
     log("c5p bounce general sweep (incl cull+lists)", ms)
 
     # Shadow stage for reference.
     sact = hitm.reshape(T, R)
-    ms, _ = timed(jax.jit(lambda: occlusion_tiles_planar(
-        accel, blocks, o3, light, sact, tile_px=tp, trace_cfg=tc)),
-        iters=3)
+    ms, _ = timed(jax.jit(partial(occlusion_tiles_planar, tile_px=tp,
+                                  trace_cfg=tc)),
+                  accel, blocks, o3, light, sact, iters=3)
     log("c5p occlusion planar", ms)
 
 
 def scene5():
-    config = RenderConfig(accel=AccelKind.CLUSTER,
-                          trace=TraceConfig(dense_tile_px=8))
+    # 16px tiles = the bench_configs config-5 shape (8px measured 4x the
+    # per-tile fixed cost at 1080p).
+    config = RenderConfig(accel=AccelKind.CLUSTER)
     scene = Scene.create(config)
     load_model(content.find("bunny.obj"), scene)
     scene.add_mesh(bumpy_sphere_mesh(345944, radius=0.9,
@@ -301,6 +306,8 @@ def main():
         profile4()
     if "5" in which:
         profile5()
+    if "5p" in which:
+        profile5p()
 
 
 if __name__ == "__main__":
