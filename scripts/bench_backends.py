@@ -209,13 +209,14 @@ def main():
     with open(path, "w") as f:
         json.dump(list(merged.values()), f, indent=1)
     print("wrote", path)
-    print("\n| backend | build ms | march ms | Mrays/s | hit frac |")
-    print("|---|---|---|---|---|")
+    print("\n| backend | first call ms | steady build ms | march ms | Mrays/s | hit frac |")
+    print("|---|---|---|---|---|---|")
     for r in RESULTS:
         if "error" in r:
-            print(f"| {r['backend']} | — | — | — | {r['error'][:60]} |")
+            print(f"| {r['backend']} | — | — | — | — | {r['error'][:60]} |")
         else:
-            print(f"| {r['backend']} | {r['build_ms']} | {r['march_ms']} | "
+            print(f"| {r['backend']} | {r['first_call_ms']} | "
+                  f"{r['steady_build_ms']} | {r['march_ms']} | "
                   f"{r['mrays_s']} | {r['hit_frac']} |")
 
 

@@ -169,6 +169,7 @@ def main():
         "unit": "T1/T8",
         "iters": ITERS,
         "per_side": {str(s): r for s, r in by_side.items()},
+        "grad_step": grad_rows,
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALING.json"), "w") as f:
