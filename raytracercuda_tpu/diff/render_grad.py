@@ -601,7 +601,7 @@ def _render_silhouette_bwd(config, width, height, zoom, shading, light_dir,
     _, vjp = jax.vjp(
         lambda sc, r, e, o: _render_fixed_ids(
             sc, r, e, o, face_ids, None, config, shading, light_dir,
-            accel=accel, frame_hw=frame_hw),
+            accel=accel, frame_hw=(height, width)),
         scene, rays, eye, orient,
     )
     d_scene, d_rays, d_eye, d_orient = vjp(g)

@@ -293,12 +293,20 @@ def _coherence_perm(ox, oy, oz, dx, dy, dz, active, lo, hi):
     Reflected bundles off curved/bumpy surfaces spread over the sphere,
     which disables `general_tile_cull`'s cone test and leaves the axis
     test toothless — measured 558 surviving blocks per active tile and a
-    538 ms bounce sweep on the config-5 scene (probe_c5).  Re-binning
-    rays so each 256-bundle shares a direction bucket restores tight
-    cones; this is the TPU shape of the wavefront tracer's ray-sorting
-    stage (`Trace2.cu:69-176` re-dispatches in bulk but never re-sorts).
-    Sort + gather are dense XLA-friendly ops; results return to pixel
-    order with one inverse-permutation gather per output plane."""
+    538 ms bounce sweep on the config-5 scene (probe_c5).  This is the
+    TPU shape of the wavefront tracer's ray-sorting stage
+    (`Trace2.cu:69-176` re-dispatches in bulk but never re-sorts): sort +
+    gather are dense XLA-friendly ops; results return to pixel order
+    with one inverse-permutation gather per output plane.
+
+    MEASURED OFF by default (`sort_bounces=False`): on the config-5
+    scene neither key order beats the unsorted tile bundles — a Morton
+    cell on a bumpy sphere still reflects across the whole scene, so
+    per-bundle survivor sets stay large while the sort/unsort adds ~2×
+    overhead (direction-major 1537 ms, morton-major 1283 ms vs 660 ms
+    unsorted for one bounce at 1080p).  Kept because scenes with FLAT
+    reflectors (the classic mirror-floor case) do produce coherent
+    bundles; flip the flag per scene."""
     from ..accel.bvh import morton_codes
 
     def q3(v):  # direction component -> 3 bits (sign folded in)
@@ -382,7 +390,7 @@ def render_bounces_pallas(
     background=(0.0, 1.0, 0.0),
     ambient: float = 0.08,
     trace_cfg: TraceConfig = TraceConfig(),
-    sort_bounces: bool = True,
+    sort_bounces: bool = False,
 ) -> jnp.ndarray:
     """Pinhole frame with mirror bounces, everything on the fused Pallas
     kernels -> ``[H*W, 3]`` float RGB (row-major).
