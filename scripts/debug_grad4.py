@@ -1,5 +1,12 @@
 #!/usr/bin/env python
-"""Locate the config-4 non-finite grad: tiled scatter backward vs plain."""
+"""Locate the config-4 non-finite grad: tiled scatter backward vs plain.
+
+CAVEAT (measured): the "plain" pass re-jits the OUTER lambda but
+`l2_image_loss` is itself jitted, so its inner trace (which captured the
+tiled route) is REUSED - the second row is not an independent plain-path
+measurement.  The r4 CONFIGS value (261 ms) is the honest plain-path
+baseline; this script's value is the tiled-vs-tiled reproducibility
+check plus the finiteness probe."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
